@@ -1,0 +1,229 @@
+"""Input pipeline: wav corpus -> batched teacher-forcing windows.
+
+Reference parity: the reference reads a 16 kHz wav corpus, mu-law encodes it,
+slices it into fixed-size training windows with `receptive_field - 1` samples
+of left context, masks loss at file boundaries, and batches across files
+(SURVEY.md §2.1 "Audio dataset / windowing", §3.1).
+
+TPU-first realization (no tf.data): a deterministic, seeded, pure-numpy
+loader. Files are mu-law encoded once into an in-memory corpus (raw 16 kHz
+speech corpora are small relative to host RAM); each epoch is a seeded
+permutation of all (file, window) pairs; each host takes a disjoint strided
+shard of every batch (`host_id::host_count`), so the global batch order is
+identical regardless of host count — the property the cross-host determinism
+tests rely on (SURVEY.md §5 "Race detection", §7 hard parts). Arrays are
+produced host-local; the caller turns them into sharded global arrays with
+`jax.make_array_from_process_local_data`.
+
+For the mel-conditioned configs the loader also emits per-window mel frames
+covering the window's input span, computed from the float waveform.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from .config import ArchConfig, TrainConfig
+from .ops import geometry
+from .ops.mulaw import mu_law_encode
+
+
+def load_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a wav file to float32 in [-1, 1]. scipy-based; no librosa."""
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return data, sr
+
+
+def write_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
+    from scipy.io import wavfile
+
+    wav = np.clip(np.asarray(wav, dtype=np.float32), -1.0, 1.0)
+    wavfile.write(path, sample_rate, (wav * 32767.0).astype(np.int16))
+
+
+@dataclasses.dataclass
+class Batch:
+    """One training batch (host-local shard)."""
+
+    inputs: np.ndarray   # int32 (B, R-1+W)   mu-law classes
+    targets: np.ndarray  # int32 (B, W)
+    mask: np.ndarray     # float32 (B, W)
+    mel: Optional[np.ndarray] = None       # float32 (B, F, n_mels)
+    speaker: Optional[np.ndarray] = None   # int32 (B,)
+
+
+class Corpus:
+    """In-memory mu-law-encoded corpus with window index."""
+
+    def __init__(
+        self,
+        waves: Sequence[np.ndarray],
+        arch: ArchConfig,
+        window_size: int,
+        speakers: Optional[Sequence[int]] = None,
+    ):
+        import jax
+
+        self.arch = arch
+        self.window_size = window_size
+        self.r_field = arch.receptive_field
+        self.waves = [np.asarray(w, dtype=np.float32) for w in waves]
+        # Encode on host once (jnp op, then pulled back to numpy).
+        self.encoded = [
+            np.asarray(mu_law_encode(jax.numpy.asarray(w), arch.quant_channels))
+            for w in self.waves
+        ]
+        self.speakers = list(speakers) if speakers is not None else None
+        # Flat index of (file, window) pairs.
+        self.index: list[tuple[int, int]] = []
+        for fi, enc in enumerate(self.encoded):
+            for wi in range(geometry.num_windows(len(enc), window_size)):
+                self.index.append((fi, wi))
+        if not self.index:
+            raise ValueError("Corpus yields no training windows")
+
+    @classmethod
+    def from_dir(
+        cls, data_dir: str, arch: ArchConfig, window_size: int
+    ) -> "Corpus":
+        paths = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.lower().endswith(".wav")
+        )
+        if not paths:
+            raise FileNotFoundError(f"No .wav files under {data_dir}")
+        waves = []
+        for p in paths:
+            w, sr = load_wav(p)
+            if sr != arch.sample_rate:
+                raise ValueError(
+                    f"{p}: sample rate {sr} != configured {arch.sample_rate}"
+                )
+            waves.append(w)
+        return cls(waves, arch, window_size)
+
+    def example(self, fi: int, wi: int):
+        inputs, targets, mask = geometry.extract_window(
+            self.encoded[fi], self.window_size, self.r_field, wi
+        )
+        return inputs, targets, mask
+
+    def mel_for_window(self, fi: int, wi: int, n_frames: int) -> np.ndarray:
+        """Mel frames covering the window's model-input span.
+
+        Frame k of the returned array corresponds to samples
+        [in_start + k*hop, ...): the upsampled conditioning then aligns
+        elementwise with `inputs`. Out-of-file regions are zero frames.
+        """
+        import jax.numpy as jnp
+
+        from .ops.mel import log_mel_spectrogram
+
+        arch = self.arch
+        hop = arch.hop_size
+        t0, _ = geometry.window_bounds(
+            len(self.encoded[fi]), self.window_size, wi
+        )
+        in_start = t0 - self.r_field
+        in_len = self.r_field - 1 + self.window_size
+        wav = self.waves[fi]
+        lo, hi = max(in_start, 0), min(in_start + in_len, len(wav))
+        seg = np.zeros(in_len, dtype=np.float32)
+        seg[lo - in_start : hi - in_start] = wav[lo:hi]
+        frames = log_mel_spectrogram(
+            jnp.asarray(seg[None]),
+            n_mels=arch.n_mels,
+            hop=hop,
+            sample_rate=arch.sample_rate,
+        )[0]
+        out = np.zeros((n_frames, arch.n_mels), dtype=np.float32)
+        n = min(n_frames, frames.shape[0])
+        out[:n] = np.asarray(frames[:n])
+        return out
+
+
+def make_batches(
+    corpus: Corpus,
+    train: TrainConfig,
+    host_id: int = 0,
+    host_count: int = 1,
+    start_step: int = 0,
+    with_mel: bool = False,
+) -> Iterator[Batch]:
+    """Infinite deterministic batch stream; host takes rows host_id::host_count.
+
+    The epoch permutation depends only on (seed, epoch), and batch b of the
+    run is the same global set of windows for any host topology. `start_step`
+    supports exact resume (the dataset cursor is just the step count).
+    """
+    if train.batch_size % host_count:
+        raise ValueError("global batch size must divide evenly across hosts")
+    per_host = train.batch_size // host_count
+    n = len(corpus.index)
+    arch = corpus.arch
+    in_len = corpus.r_field - 1 + corpus.window_size
+    n_frames = -(-in_len // arch.hop_size) if with_mel else 0
+
+    step = start_step
+    while True:
+        epoch = (step * train.batch_size) // n
+        rng = np.random.default_rng(np.random.SeedSequence([train.seed, epoch]))
+        perm = rng.permutation(n)
+        offset = (step * train.batch_size) % n
+        picks = [perm[(offset + k) % n] for k in range(train.batch_size)]
+        rows = picks[host_id::host_count]
+        assert len(rows) == per_host
+        inputs = np.stack([corpus.example(*corpus.index[r])[0] for r in rows])
+        targets = np.stack([corpus.example(*corpus.index[r])[1] for r in rows])
+        mask = np.stack([corpus.example(*corpus.index[r])[2] for r in rows])
+        mel = None
+        if with_mel:
+            mel = np.stack(
+                [corpus.mel_for_window(*corpus.index[r], n_frames) for r in rows]
+            )
+        speaker = None
+        if corpus.speakers is not None:
+            speaker = np.asarray(
+                [corpus.speakers[corpus.index[r][0]] for r in rows],
+                dtype=np.int32,
+            )
+        yield Batch(inputs, targets, mask, mel, speaker)
+        step += 1
+
+
+def synthetic_corpus(
+    arch: ArchConfig,
+    window_size: int,
+    n_files: int = 4,
+    file_len: int = 16000,
+    seed: int = 0,
+) -> Corpus:
+    """Deterministic synthetic corpus (mixed sinusoids + noise) for tests/bench."""
+    rng = np.random.default_rng(seed)
+    waves = []
+    for _ in range(n_files):
+        t = np.arange(file_len, dtype=np.float32) / arch.sample_rate
+        f0 = rng.uniform(80, 400)
+        w = (
+            0.5 * np.sin(2 * np.pi * f0 * t)
+            + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t)
+            + 0.05 * rng.standard_normal(file_len)
+        )
+        waves.append(np.clip(w, -1, 1).astype(np.float32))
+    return Corpus(waves, arch, window_size)

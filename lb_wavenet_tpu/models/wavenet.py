@@ -1,0 +1,213 @@
+"""TPU-native WaveNet model: parameters + teacher-forced forward pass.
+
+Reference parity: implements the reference's model surface (SURVEY.md §2.1,
+§3.3) — causal input conv, B×L dilated causal convs with gated tanh/sigmoid
+units, 1×1 residual and skip projections, ReLU post-network, 256-way mu-law
+softmax head, optional local (mel) and global (speaker) conditioning injected
+into every gate — but designed TPU-first rather than ported:
+
+  * No conv primitives: a width-2 dilated causal conv is two matmuls on the
+    current and d-shifted activations. Matmuls are what the MXU runs at
+    speed-of-light, and the shift is a free pad/slice that XLA folds away.
+  * Per-layer weights are STACKED along a leading layer axis (every layer has
+    identical shapes; only the dilation differs). One pytree of a few large
+    arrays instead of L small ones: friendlier to GSPMD sharding, to orbax,
+    and to Pallas BlockSpec indexing.
+  * Parameters are a plain dict pytree (no framework Module), so the training
+    forward, the ring-buffer lax.scan sampler, and the Pallas kernels all
+    consume the identical arrays — the Fast-WaveNet train≡incremental
+    invariant is then a property of code, not of weight-translation glue.
+  * bfloat16 compute / float32 params & accumulation by default.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ArchConfig
+
+
+Params = dict
+
+
+def _dense_init(key, shape, dtype=jnp.float32):
+    """LeCun-normal (std = 1/sqrt(fan_in)), the classic conv/dense init."""
+    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+    return jax.random.normal(key, shape, dtype) / jnp.sqrt(float(fan_in))
+
+
+def init_params(rng: jax.Array, arch: ArchConfig) -> Params:
+    """Create the parameter pytree for `forward` / the generation engines."""
+    L = len(arch.dilations)
+    C = arch.residual_channels
+    G = arch.gate_channels
+    S = arch.skip_channels
+    Q = arch.quant_channels
+    K = arch.input_kernel
+
+    keys = iter(jax.random.split(rng, 16))
+    params: Params = {
+        # Input: class embedding (== one-hot @ W) + width-K causal conv.
+        "embed": _dense_init(next(keys), (Q, C)),
+        "input_conv": {
+            "w": _dense_init(next(keys), (K, C, C)),  # taps t-(K-1) .. t
+            "b": jnp.zeros((C,)),
+        },
+        "layers": {
+            "w_prev": _dense_init(next(keys), (L, C, 2 * G)),  # tap at t - d
+            "w_cur": _dense_init(next(keys), (L, C, 2 * G)),   # tap at t
+            "b": jnp.zeros((L, 2 * G)),
+            "w_res": _dense_init(next(keys), (L, G, C)),
+            "b_res": jnp.zeros((L, C)),
+            "w_skip": _dense_init(next(keys), (L, G, S)),
+            "b_skip": jnp.zeros((L, S)),
+        },
+        "post": {
+            "w1": _dense_init(next(keys), (S, S)),
+            "b1": jnp.zeros((S,)),
+            "w2": _dense_init(next(keys), (S, Q)),
+            "b2": jnp.zeros((Q,)),
+        },
+    }
+    if arch.use_local_cond:
+        params["layers"]["w_cond"] = _dense_init(
+            next(keys), (L, arch.cond_channels, 2 * G)
+        )
+        from .conditioning import init_upsampler_params  # local import, no cycle
+
+        params["upsampler"] = init_upsampler_params(next(keys), arch)
+    if arch.use_global_cond:
+        params["speaker_embed"] = _dense_init(
+            next(keys), (arch.n_speakers, arch.speaker_embed_dim)
+        )
+        params["layers"]["w_gcond"] = _dense_init(
+            next(keys), (L, arch.speaker_embed_dim, 2 * G)
+        )
+    return params
+
+
+def shift_right(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """y[:, t] = x[:, t - d] with zeros for t < d. Shapes (B, T, C)."""
+    if d == 0:
+        return x
+    t = x.shape[1]
+    return jnp.pad(x, ((0, 0), (d, 0), (0, 0)))[:, :t]
+
+
+def _mm(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(..., C) @ (C, D) in compute dtype with fp32 MXU accumulation."""
+    return jax.lax.dot_general(
+        x.astype(dtype),
+        w.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def gated_layer(
+    x: jnp.ndarray,
+    x_prev: jnp.ndarray,
+    layer_params: Params,
+    i: int,
+    dtype,
+    cond: Optional[jnp.ndarray] = None,
+    gcond: Optional[jnp.ndarray] = None,
+):
+    """One gated residual unit given current and d-shifted activations.
+
+    Returns (residual_out, skip_contribution). This exact function body is
+    the contract the incremental engines replicate step-wise.
+    """
+    lp = layer_params
+    pre = (
+        _mm(x, lp["w_cur"][i], dtype)
+        + _mm(x_prev, lp["w_prev"][i], dtype)
+        + lp["b"][i]
+    )
+    if cond is not None:
+        pre = pre + _mm(cond, lp["w_cond"][i], dtype)
+    if gcond is not None:
+        pre = pre + _mm(gcond, lp["w_gcond"][i], dtype)
+    g = lp["w_cur"].shape[-1] // 2
+    z = jnp.tanh(pre[..., :g]) * jax.nn.sigmoid(pre[..., g:])
+    res = x + _mm(z, lp["w_res"][i], dtype) + lp["b_res"][i]
+    skip = _mm(z, lp["w_skip"][i], dtype) + lp["b_skip"][i]
+    return res, skip
+
+
+def input_frontend(
+    params: Params, arch: ArchConfig, x_classes: jnp.ndarray, dtype
+) -> jnp.ndarray:
+    """Embed classes and apply the width-K causal input conv. (B,T) -> (B,T,C)."""
+    e = params["embed"][x_classes]  # (B, T, C)
+    w = params["input_conv"]["w"]  # (K, C, C), tap k applies to t-(K-1-k)
+    k_taps = w.shape[0]
+    h = params["input_conv"]["b"].astype(jnp.float32)
+    h = h + sum(
+        _mm(shift_right(e, k_taps - 1 - k), w[k], dtype) for k in range(k_taps)
+    )
+    return h
+
+
+def post_network(params: Params, skip_sum: jnp.ndarray, dtype) -> jnp.ndarray:
+    p = params["post"]
+    h = jax.nn.relu(skip_sum)
+    h = jax.nn.relu(_mm(h, p["w1"], dtype) + p["b1"])
+    return _mm(h, p["w2"], dtype) + p["b2"]
+
+
+def forward(
+    params: Params,
+    arch: ArchConfig,
+    x_classes: jnp.ndarray,
+    cond_frames: Optional[jnp.ndarray] = None,
+    speaker_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Teacher-forced forward: classes (B, T) -> logits (B, T, Q).
+
+    logits[:, t] is the categorical distribution over sample t+1. The layer
+    loop is unrolled in Python (L is static and small) so every dilation's
+    shift lowers to a pad/slice and every matmul hits the MXU.
+    """
+    dtype = jnp.dtype(arch.compute_dtype)
+    lp = params["layers"]
+    cond = None
+    if cond_frames is not None:
+        from .conditioning import upsample_cond
+
+        cond = upsample_cond(params["upsampler"], arch, cond_frames, dtype)
+        cond = cond[:, : x_classes.shape[1]]
+    gcond = None
+    if speaker_ids is not None:
+        gcond = params["speaker_embed"][speaker_ids][:, None, :]  # (B, 1, E)
+
+    h = input_frontend(params, arch, x_classes, dtype)
+    skip_sum = jnp.zeros(
+        h.shape[:-1] + (arch.skip_channels,), dtype=jnp.float32
+    )
+    for i, d in enumerate(arch.dilations):
+        h, skip = gated_layer(
+            h, shift_right(h, d), lp, i, dtype, cond=cond, gcond=gcond
+        )
+        skip_sum = skip_sum + skip
+    return post_network(params, skip_sum, dtype)
+
+
+def masked_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    mask: jnp.ndarray,
+    window_size: int,
+) -> jnp.ndarray:
+    """Boundary-masked mean CE over the last `window_size` logits.
+
+    logits: (B, R-1+W, Q); targets/mask: (B, W). logits[:, -W + j] predicts
+    targets[:, j] (see ops/geometry.py for the alignment derivation).
+    """
+    w_logits = logits[:, -window_size:, :]
+    ce = -jax.nn.log_softmax(w_logits, axis=-1)
+    ce = jnp.take_along_axis(ce, targets[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(ce * mask) / denom

@@ -1,0 +1,70 @@
+"""Unit tier (SURVEY.md §4): window/mask geometry and receptive-field math."""
+import numpy as np
+
+from lb_wavenet_tpu.config import ArchConfig
+from lb_wavenet_tpu.ops.geometry import (
+    extract_window,
+    num_windows,
+    receptive_field,
+    window_bounds,
+)
+
+
+def test_receptive_field_formula():
+    # 2 blocks x 5 layers: dilations 1,2,4,8,16 twice -> sum 62; +1 input conv.
+    arch = ArchConfig(n_blocks=2, n_layers_per_block=5)
+    assert arch.dilations == (1, 2, 4, 8, 16) * 2
+    assert arch.receptive_field == 1 + 1 + 62 == 64
+    assert receptive_field(arch.dilations, 2) == 64
+    # WaveNet-30: 3x10 -> 3 * 1023 + 2.
+    arch30 = ArchConfig(n_blocks=3, n_layers_per_block=10)
+    assert arch30.receptive_field == 3 * 1023 + 2
+
+
+def test_num_windows_covers_all_targets():
+    for file_len in [1, 2, 5, 100, 101, 4097]:
+        for w in [1, 7, 100]:
+            n = num_windows(file_len, w)
+            if file_len < 2:
+                assert n == 0
+                continue
+            covered = []
+            for i in range(n):
+                t0, t1 = window_bounds(file_len, w, i)
+                covered.extend(range(t0, t1))
+            assert covered == list(range(1, file_len))
+
+
+def test_extract_window_alignment():
+    rng = np.random.default_rng(0)
+    encoded = rng.integers(0, 256, size=300).astype(np.int32)
+    w, r = 50, 64
+    inputs, targets, mask = extract_window(encoded, w, r, index=2)
+    t0 = 1 + 2 * w  # 101
+    assert inputs.shape == (r - 1 + w,)
+    assert targets.shape == (w,) and mask.shape == (w,)
+    # inputs cover samples [t0 - r, t0 + w - 1)
+    np.testing.assert_array_equal(inputs, encoded[t0 - r : t0 + w - 1])
+    np.testing.assert_array_equal(targets, encoded[t0 : t0 + w])
+    # interior window with full context: all ones
+    assert mask.sum() == w
+    # Teacher-forcing alignment: the model's logit for input position j
+    # (absolute sample t0 - r + j... last W inputs) predicts targets.
+    # Check the "inputs shifted by one" identity on the overlap:
+    np.testing.assert_array_equal(inputs[r:], targets[:-1])
+
+
+def test_extract_window_boundary_masks():
+    encoded = np.arange(130, dtype=np.int32) % 256
+    w, r = 100, 64
+    # Window 0: targets 1..100; targets with t < r are masked.
+    inputs, targets, mask = extract_window(encoded, w, r, 0)
+    assert mask[: r - 1].sum() == 0  # targets 1..63 masked (partial context)
+    assert mask[r - 1 :].sum() == w - (r - 1)  # targets 64..100 trained
+    # Left context before file start is zero-padded.
+    assert (inputs[: r - 1] == 0).all()
+    # Window 1: targets 101..129 real, rest padding-masked.
+    inputs, targets, mask = extract_window(encoded, w, r, 1)
+    assert mask.sum() == 29
+    assert (mask[29:] == 0).all()
+    np.testing.assert_array_equal(targets[:29], encoded[101:130])
