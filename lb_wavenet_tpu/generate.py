@@ -1,0 +1,299 @@
+"""Autoregressive synthesis engines.
+
+Reference parity: the reference's `generate.py` implements the Fast-WaveNet
+algorithm (arXiv 1611.09482) — per layer a FIFO queue of length = dilation
+holding past activations, one Session.run per audio sample, O(layers) work per
+sample (SURVEY.md §3.2). Its throughput wall is the per-sample Python↔runtime
+round trip.
+
+TPU-first redesign (BASELINE.json north-star): the cached-activation queues
+become per-layer RING BUFFERS resident in HBM, carried through ONE jitted
+`lax.scan` over all T samples — zero host round-trips for an entire utterance
+batch. A ring buffer of length d_l per layer holds the residual-stream
+activation h_l(t - d_l) .. h_l(t - 1); at step t the slot `t mod d_l` is read
+(it contains h_l(t - d_l), exactly the dilated tap) and then overwritten with
+h_l(t) — a circular index update with NO data movement, unlike a shift-queue.
+Everything is batched over B utterances so the per-step matmuls keep the MXU
+fed.
+
+Two engines:
+  * `naive_sample` — slow-but-obviously-correct oracle: re-runs the full
+    training forward on the trailing receptive field for every sample.
+  * `generate` — the ring-buffer scan engine (optionally with the fused
+    Pallas step kernel, ops/pallas/ar_step.py).
+
+Both consume the SAME parameter pytree as training `forward` — the
+Fast-WaveNet train≡incremental invariant is tested in
+tests/test_generate.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import ArchConfig
+from .models.wavenet import Params, post_network
+from .ops.mulaw import mu_law_decode
+
+
+class RingState(NamedTuple):
+    """Scan carry for the incremental engine."""
+
+    embed_buf: jnp.ndarray        # (K-1, B, C): past input-conv embeddings
+    layer_bufs: tuple             # per layer: (d_l, B, C) residual-stream history
+    prev_class: jnp.ndarray       # (B,) int32: sample emitted at t-1
+    rng: jax.Array                # PRNG key chain
+
+
+def init_ring_state(
+    arch: ArchConfig, batch: int, rng: jax.Array, dtype=jnp.float32
+) -> RingState:
+    c = arch.residual_channels
+    k = arch.input_kernel
+    return RingState(
+        embed_buf=jnp.zeros((k - 1, batch, c), dtype),
+        layer_bufs=tuple(
+            jnp.zeros((d, batch, c), dtype) for d in arch.dilations
+        ),
+        # The reference initializes queues with zeros / silence; class of
+        # waveform 0 is the mu-law zero class Q//2 (mid-rise upper straddle).
+        prev_class=jnp.full((batch,), arch.quant_channels // 2, jnp.int32),
+        rng=rng,
+    )
+
+
+def _mm(x, w, dtype):
+    return jax.lax.dot_general(
+        x.astype(dtype),
+        w.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def stack_step(
+    params: Params,
+    arch: ArchConfig,
+    state: RingState,
+    t: jnp.ndarray,
+    x_class: jnp.ndarray,
+    cond_t: Optional[jnp.ndarray] = None,
+    gcond: Optional[jnp.ndarray] = None,
+):
+    """One incremental forward step: class (B,) at time t -> logits (B, Q).
+
+    Mirrors models/wavenet.py::forward exactly, one timestep at a time, with
+    ring-buffer reads standing in for the d-shifted activations. Returns
+    (new_state_bufs..., logits).
+    """
+    dtype = jnp.dtype(arch.compute_dtype)
+    lp = params["layers"]
+    k_taps = arch.input_kernel
+
+    e = params["embed"][x_class]  # (B, C)
+    # Input causal conv over [embed_buf (oldest..newest), e].
+    w_in = params["input_conv"]["w"]
+    h = params["input_conv"]["b"].astype(jnp.float32) + _mm(e, w_in[k_taps - 1], dtype)
+    for j in range(k_taps - 1):
+        # embed_buf[j] holds e(t - (K-1-j)).
+        h = h + _mm(state.embed_buf[j], w_in[j], dtype)
+    new_embed_buf = (
+        jnp.concatenate([state.embed_buf[1:], e[None].astype(state.embed_buf.dtype)], axis=0)
+        if k_taps > 1
+        else state.embed_buf
+    )
+
+    g = lp["w_cur"].shape[-1] // 2
+    skip_sum = jnp.zeros((h.shape[0], arch.skip_channels), jnp.float32)
+    new_bufs = []
+    for i, d in enumerate(arch.dilations):
+        buf = state.layer_bufs[i]
+        slot = jax.lax.rem(t, jnp.int32(d))
+        h_prev = jax.lax.dynamic_index_in_dim(buf, slot, axis=0, keepdims=False)
+        # For t < d the slot still holds the zero init — correct: the
+        # dilated tap reaches before the sequence start, where h == 0
+        # matches forward()'s shift_right zero padding.
+        new_bufs.append(
+            jax.lax.dynamic_update_index_in_dim(
+                buf, h.astype(buf.dtype), slot, axis=0
+            )
+        )
+        pre = _mm(h, lp["w_cur"][i], dtype) + _mm(h_prev, lp["w_prev"][i], dtype) + lp["b"][i]
+        if cond_t is not None:
+            pre = pre + _mm(cond_t, lp["w_cond"][i], dtype)
+        if gcond is not None:
+            pre = pre + _mm(gcond, lp["w_gcond"][i], dtype)
+        z = jnp.tanh(pre[..., :g]) * jax.nn.sigmoid(pre[..., g:])
+        h = h + _mm(z, lp["w_res"][i], dtype) + lp["b_res"][i]
+        skip_sum = skip_sum + _mm(z, lp["w_skip"][i], dtype) + lp["b_skip"][i]
+
+    logits = post_network(params, skip_sum, dtype)
+    return new_embed_buf, tuple(new_bufs), logits
+
+
+def _sample_class(rng, logits, temperature: float):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(rng, logits / temperature, axis=-1).astype(
+        jnp.int32
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "arch",
+        "batch",
+        "n_samples",
+        "temperature",
+        "return_logits",
+        "use_pallas",
+    ),
+)
+def generate_classes(
+    params: Params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    batch: int,
+    n_samples: int,
+    cond: Optional[jnp.ndarray] = None,       # (B, T>=n_samples, cond_ch) upsampled
+    speaker_ids: Optional[jnp.ndarray] = None,
+    forced: Optional[jnp.ndarray] = None,     # (B, T) int32, -1 = free-running
+    temperature: float = 1.0,
+    return_logits: bool = False,
+    use_pallas: bool = False,
+):
+    """Ring-buffer scan over n_samples steps. Returns (classes (B, T)[, logits]).
+
+    `forced` implements priming/teacher-forcing: wherever forced[b, t] >= 0
+    the emitted class is overridden by it (the model still updates its state
+    from the forced sample, exactly like the reference priming its queues).
+    """
+    b = int(batch)
+    gcond = None
+    if speaker_ids is not None:
+        gcond = params["speaker_embed"][speaker_ids]  # (B, E)
+
+    state = init_ring_state(arch, b, rng)
+
+    cond_ts = None
+    if cond is not None:
+        cond_ts = jnp.swapaxes(cond[:, :n_samples], 0, 1)  # (T, B, Cc)
+    forced_ts = (
+        jnp.swapaxes(forced[:, :n_samples], 0, 1)
+        if forced is not None
+        else None
+    )
+
+    if use_pallas:
+        from .ops.pallas.ar_step import pallas_stack_step as step_fn
+    else:
+        step_fn = stack_step
+
+    def body(state: RingState, inp):
+        t, cond_t, forced_t = inp
+        rng, key = jax.random.split(state.rng)
+        new_embed, new_bufs, logits = step_fn(
+            params, arch, state, t, state.prev_class, cond_t=cond_t, gcond=gcond
+        )
+        cls = _sample_class(key, logits, temperature)
+        if forced_t is not None:
+            cls = jnp.where(forced_t >= 0, forced_t, cls)
+        new_state = RingState(new_embed, new_bufs, cls, rng)
+        out = (cls, logits) if return_logits else cls
+        return new_state, out
+
+    ts = jnp.arange(n_samples, dtype=jnp.int32)
+    xs = (
+        ts,
+        cond_ts if cond_ts is not None else ts,  # placeholder xs when no cond
+        forced_ts if forced_ts is not None else ts,
+    )
+
+    def body_wrap(state, inp):
+        t, c, f = inp
+        return body(
+            state,
+            (
+                t,
+                c if cond_ts is not None else None,
+                f if forced_ts is not None else None,
+            ),
+        )
+
+    _, out = jax.lax.scan(body_wrap, state, xs)
+    if return_logits:
+        classes, logits = out
+        return jnp.swapaxes(classes, 0, 1), jnp.swapaxes(logits, 0, 1)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def generate(
+    params: Params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    batch: int,
+    n_samples: int,
+    cond_frames: Optional[jnp.ndarray] = None,   # (B, F, n_mels) frame-rate
+    speaker_ids: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Synthesize waveforms (B, n_samples) in [-1, 1]."""
+    cond = None
+    if cond_frames is not None:
+        from .models.conditioning import upsample_cond
+
+        cond = upsample_cond(
+            params["upsampler"], arch, cond_frames, jnp.dtype(arch.compute_dtype)
+        )
+    classes = generate_classes(
+        params,
+        arch,
+        rng,
+        batch,
+        n_samples,
+        cond=cond,
+        speaker_ids=speaker_ids,
+        temperature=temperature,
+        use_pallas=use_pallas,
+    )
+    return mu_law_decode(classes, arch.quant_channels)
+
+
+def naive_sample(
+    params: Params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    batch: int,
+    n_samples: int,
+    temperature: float = 1.0,
+    return_logits: bool = False,
+):
+    """Oracle sampler: full-context forward per emitted sample, O(T·R) work.
+
+    Mirrors the pre-Fast-WaveNet naive generation the papers compare against;
+    used only in tests to pin the scan engine's semantics (identical RNG
+    chain: split per step, categorical on logits/temperature).
+    """
+    from .models.wavenet import forward
+
+    zero_cls = arch.quant_channels // 2
+    history = jnp.full((batch, n_samples + 1), zero_cls, jnp.int32)
+    all_logits = []
+    for t in range(n_samples):
+        rng, key = jax.random.split(rng)
+        # Model input at step t: classes emitted so far, zero-class padded on
+        # the left exactly like the scan engine's zero-initialized buffers...
+        window = history[:, : t + 1][:, -arch.receptive_field :]
+        logits = forward(params, arch, window)[:, -1]
+        all_logits.append(logits)
+        cls = _sample_class(key, logits, temperature)
+        history = history.at[:, t + 1].set(cls)
+    classes = history[:, 1:]
+    if return_logits:
+        return classes, jnp.stack(all_logits, axis=1)
+    return classes

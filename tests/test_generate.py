@@ -1,0 +1,102 @@
+"""Model tier (SURVEY.md §4): the Fast-WaveNet invariant.
+
+train-mode forward ≡ ring-buffer incremental forward on the same params, and
+the scan engine ≡ the naive full-context oracle sampler on identical seeds.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lb_wavenet_tpu.generate import (
+    generate,
+    generate_classes,
+    naive_sample,
+)
+from lb_wavenet_tpu.models.wavenet import forward, init_params
+
+from .util import MICRO
+
+B, T = 2, 24
+
+
+def _params():
+    return init_params(jax.random.key(0), MICRO)
+
+
+def test_incremental_logits_match_training_forward():
+    """Teacher-forced scan logits == full-sequence forward logits."""
+    params = _params()
+    x = jax.random.randint(jax.random.key(1), (B, T), 0, 256)
+    _, scan_logits = generate_classes(
+        params,
+        MICRO,
+        jax.random.key(2),
+        B,
+        T,
+        forced=x,
+        return_logits=True,
+    )
+    zero = jnp.full((B, 1), MICRO.quant_channels // 2, jnp.int32)
+    y = jnp.concatenate([zero, x[:, :-1]], axis=1)
+    fwd_logits = jax.jit(lambda p, y: forward(p, MICRO, y))(params, y)
+    np.testing.assert_allclose(
+        np.asarray(scan_logits), np.asarray(fwd_logits), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_scan_engine_matches_naive_oracle():
+    """Free-running generation: identical class sequences, seed-for-seed."""
+    params = _params()
+    rng = jax.random.key(3)
+    fast, fast_logits = generate_classes(
+        params, MICRO, rng, B, T, return_logits=True, temperature=1.0
+    )
+    slow, slow_logits = naive_sample(
+        params, MICRO, rng, B, T, temperature=1.0, return_logits=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast_logits), np.asarray(slow_logits), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_greedy_determinism_and_wav_range():
+    params = _params()
+    wav = generate(params, MICRO, jax.random.key(4), B, T, temperature=0.0)
+    wav2 = generate(params, MICRO, jax.random.key(5), B, T, temperature=0.0)
+    assert wav.shape == (B, T)
+    # temperature=0 is greedy: rng must not matter.
+    np.testing.assert_array_equal(np.asarray(wav), np.asarray(wav2))
+    assert bool(jnp.all(jnp.isfinite(wav)))
+    assert float(jnp.max(jnp.abs(wav))) <= 1.0
+
+
+def test_conditioned_generation_shapes():
+    from lb_wavenet_tpu.config import ArchConfig
+
+    arch = ArchConfig(
+        n_blocks=1,
+        n_layers_per_block=3,
+        residual_channels=8,
+        skip_channels=8,
+        gate_channels=8,
+        n_mels=8,
+        cond_channels=8,
+        upsample_factors=(4, 4),
+        n_speakers=4,
+        speaker_embed_dim=6,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    frames = jax.random.normal(jax.random.key(1), (B, 2, 8))
+    wav = generate(
+        params,
+        arch,
+        jax.random.key(2),
+        B,
+        32,  # = 2 frames * hop 16
+        cond_frames=frames,
+        speaker_ids=jnp.asarray([0, 3]),
+    )
+    assert wav.shape == (B, 32)
+    assert bool(jnp.all(jnp.isfinite(wav)))
