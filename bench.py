@@ -1,0 +1,111 @@
+"""Benchmark harness: batched AR synthesis throughput on one chip.
+
+Headline metric (BASELINE.json): audio-seconds synthesized per wall-clock
+second per chip, batched ring-buffer sampling. North-star target is >= 10x
+real time per v5e chip; the reference publishes no numbers (BASELINE.md), so
+vs_baseline reports value / 10.0 (ratio against the 10x-real-time target).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Env knobs: BENCH_BATCH (default 128), BENCH_SAMPLES (default 2048),
+BENCH_CONFIG (arch preset: wavenet30 | stress), BENCH_PALLAS=1 to use the
+fused Pallas AR step kernel.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    import jax
+
+    from lb_wavenet_tpu.config import ArchConfig
+    from lb_wavenet_tpu.generate import generate_classes
+    from lb_wavenet_tpu.models.wavenet import init_params
+
+    preset = os.environ.get("BENCH_CONFIG", "wavenet30")
+    if preset == "stress":
+        arch = ArchConfig(
+            n_blocks=3,
+            n_layers_per_block=10,
+            residual_channels=64,
+            skip_channels=512,
+            gate_channels=64,
+            sample_rate=24000,
+        )
+        batch = int(os.environ.get("BENCH_BATCH", "256"))
+    else:
+        arch = ArchConfig(
+            n_blocks=3,
+            n_layers_per_block=10,
+            residual_channels=64,
+            skip_channels=256,
+            gate_channels=64,
+        )
+        batch = int(os.environ.get("BENCH_BATCH", "128"))
+    n_samples = int(os.environ.get("BENCH_SAMPLES", "2048"))
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+
+    params = init_params(jax.random.key(0), arch)
+    params = jax.device_put(params)
+
+    import numpy as np
+
+    def run(n):
+        out = generate_classes(
+            params,
+            arch,
+            jax.random.key(1),
+            batch,
+            n,
+            temperature=1.0,
+            use_pallas=use_pallas,
+        )
+        # NOTE: on the axon remote backend block_until_ready() can return
+        # before execution completes; a host materialization is the only
+        # reliable sync. Transfer cost (~0.1 s for MBs) is noise vs multi-
+        # second timed runs.
+        return np.asarray(out)
+
+    # Warmup / compile (separate trace for the timed length).
+    t0 = time.perf_counter()
+    run(n_samples)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = run(n_samples)
+    elapsed = time.perf_counter() - t0
+    assert out.shape == (batch, n_samples)
+
+    audio_sec = batch * n_samples / arch.sample_rate
+    value = audio_sec / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "batched_ar_synthesis_throughput",
+                "value": round(value, 3),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(value / 10.0, 3),
+                "detail": {
+                    "preset": preset,
+                    "batch": batch,
+                    "n_samples": n_samples,
+                    "sample_rate": arch.sample_rate,
+                    "steps_per_sec": round(n_samples / elapsed, 1),
+                    "compile_s": round(compile_s - elapsed, 1),
+                    "pallas": use_pallas,
+                    "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

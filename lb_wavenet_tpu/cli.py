@@ -1,0 +1,165 @@
+"""Command-line entry points: `wavenet train` / `wavenet generate`.
+
+Reference parity: the reference shipped `train.py` and `generate.py` argparse
+CLIs driven by JSON architecture files (SURVEY.md §2.1 "CLI entry points",
+"Config system"). Same surface here, one binary:
+
+    python -m lb_wavenet_tpu.cli train    --config configs/wavenet30.json \
+        --set train.data_dir=/data/wavs --set train.n_steps=100000
+    python -m lb_wavenet_tpu.cli generate --config configs/wavenet30.json \
+        --set gen.batch_size=256 --set gen.n_samples=48000
+
+`--set section.key=value` overrides any config field (values parsed as JSON,
+falling back to string). Multi-host: launch one process per host with
+--coordinator/--num-processes/--process-id (wires jax.distributed).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        key, _, val = p.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects section.key=value, got {p!r}")
+        try:
+            out[key] = json.loads(val)
+        except json.JSONDecodeError:
+            out[key] = val
+    return out
+
+
+def _load_config(args):
+    from .config import Config
+
+    cfg = Config.load(args.config) if args.config else Config()
+    return cfg.override(_parse_overrides(args.set))
+
+
+def _maybe_init_distributed(args):
+    if args.num_processes > 1:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+
+def _add_common(p):
+    p.add_argument("--config", default="", help="JSON config file")
+    p.add_argument(
+        "--set",
+        action="append",
+        metavar="SECTION.KEY=VALUE",
+        help="config override (repeatable)",
+    )
+    p.add_argument("--coordinator", default="127.0.0.1:8476")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument(
+        "--profile",
+        default="",
+        metavar="DIR",
+        help="capture a jax.profiler trace of the hot loop into DIR",
+    )
+
+
+def cmd_train(args) -> int:
+    cfg = _load_config(args)
+    _maybe_init_distributed(args)
+    from .train import run_training
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+    try:
+        run_training(cfg)
+    finally:
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    cfg = _load_config(args)
+    _maybe_init_distributed(args)
+    import jax
+    import numpy as np
+
+    from .data import write_wav
+    from .generate import generate
+    from .train import init_state
+    from .utils.checkpoint import restore_params
+
+    template = init_state(jax.random.key(0), cfg.arch, cfg.train)
+    params = restore_params(cfg.gen.checkpoint_dir, template)
+
+    cond_frames = None
+    if cfg.arch.use_local_cond:
+        if not args.mel:
+            raise SystemExit(
+                "mel-conditioned arch needs --mel <npy file of (B, F, n_mels)>"
+            )
+        cond_frames = np.load(args.mel)
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    wav = generate(
+        params,
+        cfg.arch,
+        jax.random.key(cfg.gen.seed),
+        batch=cfg.gen.batch_size,
+        n_samples=cfg.gen.n_samples,
+        cond_frames=cond_frames,
+        temperature=cfg.gen.temperature,
+        use_pallas=cfg.gen.use_pallas,
+    )
+    wav.block_until_ready()
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    os.makedirs(cfg.gen.out_dir, exist_ok=True)
+    wav_np = np.asarray(wav)
+    if jax.process_index() == 0:
+        for b in range(wav_np.shape[0]):
+            write_wav(
+                os.path.join(cfg.gen.out_dir, f"gen_{b:04d}.wav"),
+                wav_np[b],
+                cfg.arch.sample_rate,
+            )
+        print(
+            json.dumps(
+                {
+                    "generated": int(wav_np.shape[0]),
+                    "n_samples": int(wav_np.shape[1]),
+                    "out_dir": cfg.gen.out_dir,
+                }
+            )
+        )
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="wavenet", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p_train = sub.add_parser("train", help="teacher-forced training")
+    _add_common(p_train)
+    p_gen = sub.add_parser("generate", help="batched AR synthesis")
+    _add_common(p_gen)
+    p_gen.add_argument("--mel", default="", help=".npy mel frames (B, F, n_mels)")
+    args = parser.parse_args(argv)
+    return {"train": cmd_train, "generate": cmd_generate}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,11 +24,14 @@ def make_mesh(mesh_data: int = -1, mesh_model: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if mesh_data == -1:
         mesh_data = n // mesh_model
-    if mesh_data * mesh_model != n:
+    if mesh_data * mesh_model > n:
         raise ValueError(
-            f"mesh {mesh_data}x{mesh_model} != {n} available devices"
+            f"mesh {mesh_data}x{mesh_model} exceeds {n} available devices"
         )
-    dev_array = np.asarray(devices).reshape(mesh_data, mesh_model)
+    # An explicit smaller mesh uses a device subset (e.g. tiny-batch runs).
+    dev_array = np.asarray(devices[: mesh_data * mesh_model]).reshape(
+        mesh_data, mesh_model
+    )
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
