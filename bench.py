@@ -48,7 +48,7 @@ def main() -> int:
         )
         batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_samples = int(os.environ.get("BENCH_SAMPLES", "2048"))
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
 
     params = init_params(jax.random.key(0), arch)
     params = jax.device_put(params)

@@ -40,12 +40,28 @@ from .ops.mulaw import mu_law_decode
 
 
 class RingState(NamedTuple):
-    """Scan carry for the incremental engine."""
+    """Scan carry for the incremental engine.
+
+    All layers' ring buffers live in ONE packed HBM array (sum(dilations),
+    B, C); layer l owns rows [offset_l, offset_l + d_l) and its dilated tap
+    at time t is row offset_l + (t mod d_l). Packing keeps the carry a single
+    large array (one in-place dynamic-update region for XLA) and is exactly
+    the layout the fused Pallas kernel indexes with scalar-prefetched slots.
+    """
 
     embed_buf: jnp.ndarray        # (K-1, B, C): past input-conv embeddings
-    layer_bufs: tuple             # per layer: (d_l, B, C) residual-stream history
+    bufs: jnp.ndarray             # (sum_d, B, C) packed residual-stream history
     prev_class: jnp.ndarray       # (B,) int32: sample emitted at t-1
     rng: jax.Array                # PRNG key chain
+
+
+def buffer_offsets(arch: ArchConfig) -> tuple:
+    """Static row offset of each layer's ring inside the packed buffer."""
+    offs, acc = [], 0
+    for d in arch.dilations:
+        offs.append(acc)
+        acc += d
+    return tuple(offs)
 
 
 def init_ring_state(
@@ -55,9 +71,7 @@ def init_ring_state(
     k = arch.input_kernel
     return RingState(
         embed_buf=jnp.zeros((k - 1, batch, c), dtype),
-        layer_bufs=tuple(
-            jnp.zeros((d, batch, c), dtype) for d in arch.dilations
-        ),
+        bufs=jnp.zeros((sum(arch.dilations), batch, c), dtype),
         # The reference initializes queues with zeros / silence; class of
         # waveform 0 is the mu-law zero class Q//2 (mid-rise upper straddle).
         prev_class=jnp.full((batch,), arch.quant_channels // 2, jnp.int32),
@@ -108,18 +122,16 @@ def stack_step(
 
     g = lp["w_cur"].shape[-1] // 2
     skip_sum = jnp.zeros((h.shape[0], arch.skip_channels), jnp.float32)
-    new_bufs = []
+    offsets = buffer_offsets(arch)
+    bufs = state.bufs
     for i, d in enumerate(arch.dilations):
-        buf = state.layer_bufs[i]
-        slot = jax.lax.rem(t, jnp.int32(d))
-        h_prev = jax.lax.dynamic_index_in_dim(buf, slot, axis=0, keepdims=False)
+        slot = offsets[i] + jax.lax.rem(t, jnp.int32(d))
+        h_prev = jax.lax.dynamic_index_in_dim(bufs, slot, axis=0, keepdims=False)
         # For t < d the slot still holds the zero init — correct: the
         # dilated tap reaches before the sequence start, where h == 0
         # matches forward()'s shift_right zero padding.
-        new_bufs.append(
-            jax.lax.dynamic_update_index_in_dim(
-                buf, h.astype(buf.dtype), slot, axis=0
-            )
+        bufs = jax.lax.dynamic_update_index_in_dim(
+            bufs, h.astype(bufs.dtype), slot, axis=0
         )
         pre = _mm(h, lp["w_cur"][i], dtype) + _mm(h_prev, lp["w_prev"][i], dtype) + lp["b"][i]
         if cond_t is not None:
@@ -131,7 +143,7 @@ def stack_step(
         skip_sum = skip_sum + _mm(z, lp["w_skip"][i], dtype) + lp["b_skip"][i]
 
     logits = post_network(params, skip_sum, dtype)
-    return new_embed_buf, tuple(new_bufs), logits
+    return new_embed_buf, bufs, logits
 
 
 def _sample_class(rng, logits, temperature: float):
@@ -189,7 +201,12 @@ def generate_classes(
     )
 
     if use_pallas:
-        from .ops.pallas.ar_step import pallas_stack_step as step_fn
+        from .ops.pallas.ar_step import pallas_stack_step
+
+        # Pallas-TPU kernels run in interpreter mode on CPU (tests).
+        step_fn = functools.partial(
+            pallas_stack_step, interpret=jax.default_backend() == "cpu"
+        )
     else:
         step_fn = stack_step
 

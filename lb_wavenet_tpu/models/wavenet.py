@@ -138,10 +138,22 @@ def gated_layer(
 
 
 def input_frontend(
-    params: Params, arch: ArchConfig, x_classes: jnp.ndarray, dtype
+    params: Params,
+    arch: ArchConfig,
+    x_classes: jnp.ndarray,
+    dtype,
+    input_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Embed classes and apply the width-K causal input conv. (B,T) -> (B,T,C)."""
+    """Embed classes and apply the width-K causal input conv. (B,T) -> (B,T,C).
+
+    `input_mask` (B, T) zeroes the embeddings of masked positions, making
+    them contribute exactly like the pre-sequence zero padding — the hook
+    sequence-parallel halo exchange uses to realize "no history" on the
+    first shard (parallel/halo.py).
+    """
     e = params["embed"][x_classes]  # (B, T, C)
+    if input_mask is not None:
+        e = e * input_mask[..., None]
     w = params["input_conv"]["w"]  # (K, C, C), tap k applies to t-(K-1-k)
     k_taps = w.shape[0]
     h = params["input_conv"]["b"].astype(jnp.float32)
@@ -164,6 +176,7 @@ def forward(
     x_classes: jnp.ndarray,
     cond_frames: Optional[jnp.ndarray] = None,
     speaker_ids: Optional[jnp.ndarray] = None,
+    input_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Teacher-forced forward: classes (B, T) -> logits (B, T, Q).
 
@@ -183,7 +196,7 @@ def forward(
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids][:, None, :]  # (B, 1, E)
 
-    h = input_frontend(params, arch, x_classes, dtype)
+    h = input_frontend(params, arch, x_classes, dtype, input_mask=input_mask)
     skip_sum = jnp.zeros(
         h.shape[:-1] + (arch.skip_channels,), dtype=jnp.float32
     )

@@ -1,0 +1,122 @@
+"""Sequence parallelism for convolution: recompute-with-halo over `shard_map`.
+
+Reference parity: the reference has no sequence parallelism (SURVEY.md §2.3);
+its long-sequence mechanism is windowed training with receptive-field left
+context. This module is the TPU-native context-parallel equivalent for very
+long utterances (SURVEY.md §5 "Long-context"): shard the TIME axis across a
+mesh axis, exchange only the `R - 1` boundary SAMPLES with the left neighbor
+via `lax.ppermute` over ICI, and let each shard recompute its halo's
+activations locally.
+
+Why halo-of-inputs rather than per-layer halo-of-activations: one ppermute of
+(B, R-1) int32 per step versus L ppermutes of (B, d_l, C) floats — for
+WaveNet-30 that is ~250x less communication at the cost of (R-1)/chunk
+recompute (< 5 % for 64k-sample chunks). Dense local recompute is what the
+MXU is good at; collectives are what you minimize. Numerical identity with
+the unsharded forward is exact (tests/test_halo.py): the first shard zeroes
+its halo embeddings via `forward(..., input_mask=...)`, reproducing the
+pre-sequence zero padding bit-for-bit.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import ArchConfig
+from ..models.wavenet import forward
+
+
+def _sp_local_logits(params, x_local, *, arch: ArchConfig, axis_name: str):
+    """Logits for this shard's chunk, exact vs the unsharded forward.
+
+    x_local: (B, T_local) classes. Returns (B, T_local, Q).
+    """
+    r = arch.receptive_field
+    halo = r - 1
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    # Right-shift ring: shard i receives the last `halo` samples of shard
+    # i-1. Shard 0 receives shard n-1's tail (wraparound) and masks it out.
+    src_tail = x_local[:, -halo:]
+    recv = jax.lax.ppermute(
+        src_tail, axis_name, perm=[(i, (i + 1) % n) for i in range(n)]
+    )
+    x_ext = jnp.concatenate([recv, x_local], axis=1)
+    mask = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                (idx > 0).astype(jnp.float32), (x_local.shape[0], halo)
+            ),
+            jnp.ones_like(x_local, jnp.float32),
+        ],
+        axis=1,
+    )
+    logits_ext = forward(params, arch, x_ext, input_mask=mask)
+    return logits_ext[:, halo:]
+
+
+def sequence_parallel_logits(
+    params,
+    arch: ArchConfig,
+    x: jnp.ndarray,  # (B, T) with T divisible by the seq-axis size
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> jnp.ndarray:
+    """Time-sharded teacher-forced forward over `mesh[axis_name]`.
+
+    Batch stays replicated across the sequence axis; the time dimension of
+    both input and output is sharded. Equivalent to `forward(params, arch, x)`
+    up to float associativity (exact in fp32 tests).
+    """
+    fn = shard_map(
+        functools.partial(_sp_local_logits, arch=arch, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name)),
+        out_specs=P(None, axis_name, None),
+    )
+    return fn(params, x)
+
+
+def sequence_parallel_loss(
+    params,
+    arch: ArchConfig,
+    x: jnp.ndarray,        # (B, T) inputs, T = R-1+W region sharded over time
+    targets: jnp.ndarray,  # (B, T) per-position next-sample classes
+    loss_mask: jnp.ndarray,  # (B, T) 1 where the position is trained
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> jnp.ndarray:
+    """Masked CE over a time-sharded long window (mean over unmasked).
+
+    Unlike the windowed path (targets only for the last W logits), the
+    sequence-parallel path scores EVERY position and relies on loss_mask to
+    exclude positions without full receptive field — the natural formulation
+    when one utterance spans the whole mesh axis.
+    """
+
+    def local(params, x_l, tgt_l, m_l):
+        logits = _sp_local_logits(params, x_l, arch=arch, axis_name=axis_name)
+        ce = -jax.nn.log_softmax(logits, axis=-1)
+        ce = jnp.take_along_axis(ce, tgt_l[..., None], axis=-1)[..., 0]
+        num = jax.lax.psum(jnp.sum(ce * m_l), axis_name)
+        den = jax.lax.psum(jnp.sum(m_l), axis_name)
+        return num / jnp.maximum(den, 1.0)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None, axis_name),
+            P(None, axis_name),
+            P(None, axis_name),
+        ),
+        out_specs=P(),
+    )
+    return fn(params, x, targets, loss_mask)

@@ -26,6 +26,7 @@ from .data import Batch, Corpus, make_batches
 from .models.wavenet import forward, init_params, masked_loss
 from .parallel.mesh import make_mesh, shard_batch, shard_params
 from .utils import checkpoint as ckpt_lib
+from .utils import multihost
 from .utils.metrics import MetricsLogger
 
 
@@ -137,6 +138,8 @@ def run_training(
                 step_time_ms=1000.0 * dt / n_logged,
             )
         if (i + 1) % train.checkpoint_every == 0 or i + 1 == total:
+            # Cross-host divergence guard before persisting (SURVEY.md §5).
+            multihost.assert_replicated_params(state.params, i + 1)
             ckpt_lib.save(manager, state, i + 1)
     manager.wait_until_finished()
     return state
