@@ -123,6 +123,7 @@ def cmd_generate(args) -> int:
         cond_frames=cond_frames,
         temperature=cfg.gen.temperature,
         use_pallas=cfg.gen.use_pallas,
+        engine=cfg.gen.engine or None,
     )
     wav.block_until_ready()
     if args.profile:
@@ -150,6 +151,13 @@ def cmd_generate(args) -> int:
 
 
 def main(argv=None) -> int:
+    # This image's sitecustomize force-selects the axon TPU platform
+    # programmatically (env JAX_PLATFORMS is overridden); WAVENET_PLATFORM
+    # provides an explicit escape hatch (e.g. =cpu for host-only runs).
+    if os.environ.get("WAVENET_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["WAVENET_PLATFORM"])
     parser = argparse.ArgumentParser(prog="wavenet", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_train = sub.add_parser("train", help="teacher-forced training")

@@ -100,7 +100,11 @@ class GenConfig:
     seed: int = 0
     checkpoint_dir: str = "/tmp/wavenet_ckpt"
     out_dir: str = "/tmp/wavenet_out"
-    use_pallas: bool = False          # fused Pallas AR step kernel
+    use_pallas: bool = False          # legacy alias for engine="pallas"
+    # AR engine: "xla" | "pallas" (bit-matches xla) | "turbo" | "mega"
+    # (fastest; see ops/pallas/ar_mega.py). "" -> use_pallas legacy mapping.
+    engine: str = ""
+
 
 
 def _from_dict(cls, d: dict):

@@ -163,6 +163,7 @@ def _sample_class(rng, logits, temperature: float):
         "temperature",
         "return_logits",
         "use_pallas",
+        "engine",
     ),
 )
 def generate_classes(
@@ -177,17 +178,37 @@ def generate_classes(
     temperature: float = 1.0,
     return_logits: bool = False,
     use_pallas: bool = False,
+    engine: Optional[str] = None,
 ):
     """Ring-buffer scan over n_samples steps. Returns (classes (B, T)[, logits]).
 
     `forced` implements priming/teacher-forcing: wherever forced[b, t] >= 0
     the emitted class is overridden by it (the model still updates its state
     from the forced sample, exactly like the reference priming its queues).
+
+    Engines (`engine`, or legacy `use_pallas`):
+      * "xla"    — plain XLA scan body (reference path).
+      * "pallas" — fused Pallas stack kernel + XLA post/sampling; bit-matches
+                   "xla" including the RNG stream.
+      * "turbo"  — everything in-kernel incl. Gumbel-max sampling on the
+                   TPU-native PRNG (fastest; sampled streams differ from the
+                   other engines, deterministic paths bit-match; no
+                   return_logits).
     """
+    if engine is None:
+        engine = "pallas" if use_pallas else "xla"
     b = int(batch)
     gcond = None
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]  # (B, E)
+
+    if engine in ("turbo", "mega"):
+        if return_logits and engine == "turbo":
+            raise ValueError("turbo engine does not expose logits")
+        return _generate_classes_fused(
+            params, arch, rng, b, n_samples, cond, gcond, forced, temperature,
+            engine, return_logits,
+        )
 
     state = init_ring_state(arch, b, rng)
 
@@ -200,15 +221,17 @@ def generate_classes(
         else None
     )
 
-    if use_pallas:
+    if engine == "pallas":
         from .ops.pallas.ar_step import pallas_stack_step
 
         # Pallas-TPU kernels run in interpreter mode on CPU (tests).
         step_fn = functools.partial(
             pallas_stack_step, interpret=jax.default_backend() == "cpu"
         )
-    else:
+    elif engine == "xla":
         step_fn = stack_step
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
 
     def body(state: RingState, inp):
         t, cond_t, forced_t = inp
@@ -248,6 +271,131 @@ def generate_classes(
     return jnp.swapaxes(out, 0, 1)
 
 
+def _generate_classes_fused(
+    params: Params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    b: int,
+    n_samples: int,
+    cond: Optional[jnp.ndarray],
+    gcond: Optional[jnp.ndarray],
+    forced: Optional[jnp.ndarray],
+    temperature: float,
+    engine: str = "turbo",
+    return_logits: bool = False,
+):
+    """Fully-fused engines.
+
+    "turbo": lax.scan whose body is ONE kernel launch (ops/pallas/ar_turbo).
+    "mega":  the entire loop inside ONE pallas_call with grid over samples
+             (ops/pallas/ar_mega) — no scan, no per-step launches at all.
+    """
+    from .ops.pallas.ar_turbo import turbo_step
+
+    if arch.input_kernel != 2:
+        raise NotImplementedError("fused engines assume input_kernel == 2")
+    interpret = jax.default_backend() == "cpu"
+
+    # Fold global conditioning into the per-step conditioning vector.
+    lp = params["layers"]
+    cond_ts = None
+    if cond is not None:
+        cond_ts = jnp.swapaxes(cond[:, :n_samples], 0, 1)  # (T, B, Cc)
+    if gcond is not None:
+        g_ts = jnp.broadcast_to(
+            gcond[None], (n_samples,) + gcond.shape
+        )
+        lp = dict(lp)
+        if cond_ts is not None:
+            cond_ts = jnp.concatenate([cond_ts, g_ts], axis=-1)
+            lp["w_cond"] = jnp.concatenate(
+                [params["layers"]["w_cond"], params["layers"]["w_gcond"]],
+                axis=1,
+            )
+        else:
+            cond_ts = g_ts
+            lp["w_cond"] = params["layers"]["w_gcond"]
+    has_cond = cond_ts is not None
+
+    if forced is None:
+        forced_ts = jnp.full((n_samples, b), -1, jnp.int32)
+    else:
+        forced_ts = jnp.swapaxes(forced[:, :n_samples], 0, 1).astype(jnp.int32)
+
+    dtype = jnp.dtype(arch.compute_dtype)
+    zero_cls = jnp.full((b,), arch.quant_channels // 2, jnp.int32)
+    e0 = params["embed"][zero_cls]  # (B, C)
+    w_in = params["input_conv"]["w"]
+    h0 = params["input_conv"]["b"].astype(jnp.float32) + jax.lax.dot_general(
+        e0.astype(dtype),
+        w_in[1].astype(dtype),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bufs = jnp.zeros((sum(arch.dilations), b, arch.residual_channels))
+    offsets = jnp.asarray(buffer_offsets(arch), jnp.int32)
+    dils = jnp.asarray(arch.dilations, jnp.int32)
+    seed_base = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max - n_samples)
+
+    if engine == "mega":
+        from .ops.pallas.ar_mega import mega_generate
+
+        out = mega_generate(
+            params,
+            lp,
+            arch,
+            h0,
+            e0,
+            seed_base,
+            forced_ts[:, None, :],
+            cond_ts,
+            n_samples,
+            temperature,
+            has_cond,
+            interpret=interpret,
+            emit_logits=return_logits,
+        )
+        if return_logits:
+            classes, logits = out
+            return (
+                jnp.swapaxes(classes[:, 0, :], 0, 1),          # (B, T)
+                jnp.transpose(logits, (2, 0, 1)),              # (B, T, Q)
+            )
+        return jnp.swapaxes(out[:, 0, :], 0, 1)  # (T, B) -> (B, T)
+
+    def body(carry, inp):
+        bufs, e_cur, h0 = carry
+        t, cond_t, forced_t = inp
+        slots = offsets + jax.lax.rem(t, dils)
+        seed = (seed_base + t)[None]
+        new_bufs, cls, e_next, h0_next = turbo_step(
+            params,
+            lp,
+            arch,
+            h0,
+            e_cur,
+            bufs,
+            slots,
+            seed,
+            forced_t[:, None],
+            cond_t=cond_t,
+            temperature=temperature,
+            has_cond=has_cond,
+            interpret=interpret,
+        )
+        return (new_bufs, e_next, h0_next), cls
+
+    ts = jnp.arange(n_samples, dtype=jnp.int32)
+    xs = (ts, cond_ts if has_cond else ts, forced_ts)
+
+    def body_wrap(carry, inp):
+        t, c, f = inp
+        return body(carry, (t, c if has_cond else None, f))
+
+    _, classes = jax.lax.scan(body_wrap, (bufs, e0, h0), xs)
+    return jnp.swapaxes(classes, 0, 1)
+
+
 def generate(
     params: Params,
     arch: ArchConfig,
@@ -258,6 +406,7 @@ def generate(
     speaker_ids: Optional[jnp.ndarray] = None,
     temperature: float = 1.0,
     use_pallas: bool = False,
+    engine: Optional[str] = None,
 ) -> jnp.ndarray:
     """Synthesize waveforms (B, n_samples) in [-1, 1]."""
     cond = None
@@ -277,6 +426,7 @@ def generate(
         speaker_ids=speaker_ids,
         temperature=temperature,
         use_pallas=use_pallas,
+        engine=engine,
     )
     return mu_law_decode(classes, arch.quant_channels)
 

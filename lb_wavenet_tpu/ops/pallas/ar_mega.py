@@ -1,0 +1,357 @@
+"""Mega AR kernel: the ENTIRE batched generation loop in ONE pallas_call.
+
+The turbo kernel (ar_turbo.py) still pays per-sample-step costs: a pallas
+launch, scan bookkeeping, and a fresh 30-step layer-grid pipeline whose
+per-iteration overhead (~1.5 us x L) dominates the tiny per-layer matmuls.
+This kernel removes all of it:
+
+  * grid = (T,) over SAMPLES. The TPU grid is sequential, so the carries
+    (residual stream h, current embedding e) live in VMEM scratch across
+    steps; ALL weights are fetched into VMEM once (constant BlockSpec index)
+    and stay resident for the entire utterance batch.
+  * FEATURE-MAJOR layout: every activation is (channels, batch), so the
+    lane dimension is the batch (>= 128) — manual DMA slices of the ring
+    buffer are lane-aligned, and every matmul is (M, K) @ (K, B) with
+    K = features and N = batch, filling the MXU's 128x128 array (the
+    batch-major layout leaves half the contraction empty at C = 64).
+  * The packed ring buffer (sum_d, C, B) stays in HBM (`memory_space=ANY`,
+    input/output aliased). Each step issues the dilated-tap reads as
+    parallel manual DMAs up front (latency hides behind the early layers'
+    compute) and writes each layer's new activation back, double-buffered
+    through a VMEM history buffer and ordered by per-layer DMA semaphores.
+  * Layers with dilation 1 never touch HBM: their tap IS last step's
+    activation, still in the VMEM history buffer.
+  * Current+dilated taps CONCATENATED: one (2G, 2C) @ (2C, B) matmul per
+    layer instead of two half-contraction ones.
+  * Post-network, Gumbel-max sampling (TPU PRNG), embedding lookup and the
+    next step's input conv run in the final unrolled stage; classes stream
+    out through a (1, 1, B) block per grid step.
+
+Constraints: batch must be a multiple of 128 on real TPUs (lane alignment of
+the manual DMA); the driver enforces/pads. Sampling RNG matches the turbo
+engine.
+
+Precision note (measured on v5e, see BASELINE.md): at t=0 the mega logits are
+BIT-EXACT vs the XLA engine; over long autoregressive runs the streams drift
+apart (~1e-2 logit diff after 500 teacher-forced steps) because XLA's
+DEFAULT-precision fp32 TPU matmul is a reduced-precision bf16 pass while this
+kernel contracts in true fp32 with fp32 accumulation — the mega path is the
+MORE accurate one. Consequently free-running/greedy sequences eventually
+diverge between engines (first argmax flip ~t=170 on an untrained net); both
+are valid samples of the same model. Use the `pallas` engine when a stream
+must bit-match the XLA engine sample-for-sample; CPU interpret parity is
+exact (tests/test_pallas.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import ArchConfig
+
+
+def _gumbel_bits(q, bsz, seed_scalar, use_hw_prng):
+    """uint32 bits, FEATURE-MAJOR shape (Q, B)."""
+    if use_hw_prng:
+        pltpu.prng_seed(seed_scalar)
+        return pltpu.bitcast(pltpu.prng_random_bits((q, bsz)), jnp.uint32)
+    ctr = (
+        jax.lax.broadcasted_iota(jnp.uint32, (q, bsz), 0) * bsz
+        + jax.lax.broadcasted_iota(jnp.uint32, (q, bsz), 1)
+    )
+    x = seed_scalar.astype(jnp.uint32) + ctr * jnp.uint32(0x9E3779B9)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
+def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
+                      use_hw_prng: bool, buf_dtype, emit_logits: bool = False):
+    L = len(arch.dilations)
+    dils = arch.dilations
+    offsets = []
+    acc = 0
+    for d in dils:
+        offsets.append(acc)
+        acc += d
+
+    dt = jnp.dtype(arch.compute_dtype)
+
+    def kernel(*refs):
+        (seed_ref,) = refs[:1]
+        (h0_ref, e0_ref, bufs_in, wcat_ref, b_ref, wr_ref, br_ref, ws_ref,
+         bs_ref, w1_ref, b1_ref, w2_ref, b2_ref, emb_ref, wi0_ref, wi1_ref,
+         bi_ref, forced_ref) = refs[1:19]
+        idx = 19
+        if has_cond:
+            cond_ref, wcond_ref = refs[idx:idx + 2]
+            idx += 2
+        else:
+            cond_ref = wcond_ref = None
+        if emit_logits:
+            bufs_ref, cls_ref, logits_ref = refs[idx:idx + 3]
+            idx += 3
+        else:
+            bufs_ref, cls_ref = refs[idx:idx + 2]
+            logits_ref = None
+            idx += 2
+        (h_s, e_s, tap_buf, hist_buf, rsem, wsem) = refs[idx:]
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            h_s[:] = h0_ref[:]
+            e_s[:] = e0_ref[:]
+
+        def mm(w, a):
+            # (M, K) @ (K, B) -> (M, B), fp32 accumulation on the MXU.
+            return jax.lax.dot_general(
+                w.astype(dt), a.astype(dt), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # Issue all dilated-tap reads up front (d > 1 only): latency hides
+        # behind the early layers' compute. Safe vs last step's writes: a
+        # row written at step t-1 is re-read no earlier than step t-1+d.
+        c_dim = h_s.shape[0]
+        slots = [None] * L
+        for l in range(L):
+            if dils[l] > 1:
+                slot = (offsets[l] + jax.lax.rem(t, jnp.int32(dils[l]))) * c_dim
+                slots[l] = slot
+                pltpu.make_async_copy(
+                    bufs_ref.at[pl.ds(slot, c_dim)],
+                    tap_buf.at[pl.ds(l * c_dim, c_dim)],
+                    rsem.at[l],
+                ).start()
+
+        bsz = h_s.shape[-1]
+        skip = None
+        h = h_s[:]
+        for l in range(L):
+            if dils[l] > 1:
+                # Order: read done -> prior write done -> stage h in hist ->
+                # write back -> compute.
+                pltpu.make_async_copy(
+                    bufs_ref.at[pl.ds(slots[l], c_dim)],
+                    tap_buf.at[pl.ds(l * c_dim, c_dim)],
+                    rsem.at[l],
+                ).wait()
+                h_prev = tap_buf[pl.ds(l * c_dim, c_dim)].astype(jnp.float32)
+
+                @pl.when(t > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        hist_buf.at[pl.ds(l * c_dim, c_dim)],
+                        bufs_ref.at[pl.ds(slots[l], c_dim)],
+                        wsem.at[l],
+                    ).wait()
+
+                hist_buf[pl.ds(l * c_dim, c_dim)] = h.astype(buf_dtype)
+                pltpu.make_async_copy(
+                    hist_buf.at[pl.ds(l * c_dim, c_dim)],
+                    bufs_ref.at[pl.ds(slots[l], c_dim)],
+                    wsem.at[l],
+                ).start()
+            else:
+                # d == 1: the tap is last step's activation — still in VMEM.
+                h_prev = jnp.where(
+                    t > 0,
+                    hist_buf[pl.ds(l * c_dim, c_dim)].astype(jnp.float32),
+                    0.0,
+                )
+                hist_buf[pl.ds(l * c_dim, c_dim)] = h.astype(buf_dtype)
+
+            hcat = jnp.concatenate([h, h_prev], axis=0)  # (2C, B)
+            pre = mm(wcat_ref[l], hcat) + b_ref[l]       # (2G, B)
+            if has_cond:
+                pre = pre + mm(wcond_ref[l], cond_ref[0])
+            g = pre.shape[0] // 2
+            z = jnp.tanh(pre[:g]) * jax.nn.sigmoid(pre[g:])
+            h = h + mm(wr_ref[l], z) + br_ref[l]
+            contrib = mm(ws_ref[l], z) + bs_ref[l]
+            skip = contrib if skip is None else skip + contrib
+
+        # Final grid step: drain outstanding write DMAs — a pallas_call must
+        # not end with in-flight DMA (undefined behavior / runtime crash).
+        @pl.when(t == pl.num_programs(0) - 1)
+        def _drain():
+            for l in range(L):
+                if dils[l] > 1:
+                    pltpu.make_async_copy(
+                        hist_buf.at[pl.ds(l * c_dim, c_dim)],
+                        bufs_ref.at[pl.ds(slots[l], c_dim)],
+                        wsem.at[l],
+                    ).wait()
+
+        # ---- post-network + sampling + next-step frontend ----
+        hidden = jax.nn.relu(mm(w1_ref[:], jax.nn.relu(skip)) + b1_ref[:])
+        logits = mm(w2_ref[:], hidden) + b2_ref[:]       # (Q, B)
+        q = logits.shape[0]
+        if emit_logits:
+            logits_ref[0] = logits
+        if temperature > 0.0:
+            bits = _gumbel_bits(q, bsz, seed_ref[0] + t, use_hw_prng)
+            top24 = pltpu.bitcast(
+                jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
+            )
+            u = (top24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
+            scores = logits * (1.0 / temperature) + (-jnp.log(-jnp.log(u)))
+        else:
+            scores = logits
+        m = jnp.max(scores, axis=0, keepdims=True)        # (1, B)
+        row = jax.lax.broadcasted_iota(jnp.int32, (q, bsz), 0)
+        cls = jnp.min(
+            jnp.where(scores >= m, row, jnp.int32(q)), axis=0
+        ).astype(jnp.int32)                               # (B,)
+        forced = forced_ref[0, 0]
+        cls = jnp.where(forced >= 0, forced, cls)
+        cls_ref[0, 0] = cls
+
+        onehot = (row == cls[None, :]).astype(jnp.float32)  # (Q, B)
+        e_next = mm(emb_ref[:], onehot)                     # (C, B)
+        h_s[:] = bi_ref[:] + mm(wi1_ref[:], e_next) + mm(wi0_ref[:], e_s[:])
+        e_s[:] = e_next
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("arch", "n_samples", "temperature", "has_cond", "interpret", "emit_logits"),
+)
+def mega_generate(
+    params: dict,
+    lp: dict,                      # layer params (w_cond possibly folded)
+    arch: ArchConfig,
+    h0: jnp.ndarray,               # (B, C) first-step residual input
+    e0: jnp.ndarray,               # (B, C) first-step embedding
+    seed_base: jnp.ndarray,        # () int32
+    forced_ts: jnp.ndarray,        # (T, 1, B) int32
+    cond_ts: Optional[jnp.ndarray],  # (T, B, Cc) or None
+    n_samples: int,
+    temperature: float,
+    has_cond: bool,
+    interpret: bool = False,
+    emit_logits: bool = False,
+):
+    """Run the whole generation loop; returns classes (T, 1, B) int32
+    (plus logits (T, Q, B) when emit_logits — the correctness-test hook).
+
+    All operands are transposed to feature-major here (a few trace-time
+    transposes on tiny arrays); callers keep the batch-major convention.
+    """
+    L = len(arch.dilations)
+    b, c = h0.shape
+    two_g = lp["w_cur"].shape[-1]
+    gch = two_g // 2
+    s = arch.skip_channels
+    q = arch.quant_channels
+    buf_dtype = jnp.float32
+    pp = params["post"]
+    w_in = params["input_conv"]["w"]
+
+    if not interpret and b % 128 != 0:
+        raise ValueError(
+            f"mega engine needs batch % 128 == 0 on TPU (lane alignment of "
+            f"the ring-buffer DMA); got {b}. Pad the batch or use the turbo "
+            f"engine."
+        )
+
+    def tr(x):
+        return jnp.swapaxes(x, -1, -2)
+
+    # (L, 2G, 2C): current tap columns first, dilated tap columns second.
+    wcat = tr(jnp.concatenate([lp["w_cur"], lp["w_prev"]], axis=1))
+    bufs = jnp.zeros((sum(arch.dilations) * c, b), buf_dtype)
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda t, seed: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        whole((c, b)),                     # h0^T
+        whole((c, b)),                     # e0^T
+        pl.BlockSpec(memory_space=pl.ANY),  # bufs (manual DMA)
+        whole((L, two_g, 2 * c)),          # wcat^T
+        whole((L, two_g, 1)),              # b
+        whole((L, c, gch)),                # w_res^T
+        whole((L, c, 1)),                  # b_res
+        whole((L, s, gch)),                # w_skip^T
+        whole((L, s, 1)),                  # b_skip
+        whole((s, s)), whole((s, 1)),      # post w1^T/b1
+        whole((q, s)), whole((q, 1)),      # post w2^T/b2
+        whole((c, q)),                     # embed^T
+        whole((c, c)), whole((c, c)), whole((c, 1)),  # input conv ^T
+        pl.BlockSpec((1, 1, b), lambda t, seed: (t, 0, 0),
+                     memory_space=pltpu.VMEM),        # forced
+    ]
+    args = [
+        tr(h0), tr(e0), bufs,
+        wcat, lp["b"][:, :, None],
+        tr(lp["w_res"]), lp["b_res"][:, :, None],
+        tr(lp["w_skip"]), lp["b_skip"][:, :, None],
+        tr(pp["w1"]), pp["b1"][:, None], tr(pp["w2"]), pp["b2"][:, None],
+        tr(params["embed"]),
+        tr(w_in[0]), tr(w_in[1]), params["input_conv"]["b"][:, None],
+        forced_ts,
+    ]
+    if has_cond:
+        cc = lp["w_cond"].shape[1]
+        in_specs += [
+            pl.BlockSpec((1, cc, b), lambda t, seed: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            whole((L, two_g, cc)),
+        ]
+        args += [tr(cond_ts), tr(lp["w_cond"])]
+
+    kernel = _make_mega_kernel(
+        arch, temperature, has_cond, use_hw_prng=not interpret,
+        buf_dtype=buf_dtype, emit_logits=emit_logits,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_samples,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # bufs (aliased)
+                pl.BlockSpec((1, 1, b), lambda t, seed: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + ([pl.BlockSpec((1, q, b), lambda t, seed: (t, 0, 0),
+                               memory_space=pltpu.VMEM)] if emit_logits else []),
+            scratch_shapes=[
+                pltpu.VMEM((c, b), jnp.float32),        # h_s
+                pltpu.VMEM((c, b), jnp.float32),        # e_s
+                pltpu.VMEM((L * c, b), buf_dtype),      # tap_buf
+                pltpu.VMEM((L * c, b), buf_dtype),      # hist_buf
+                pltpu.SemaphoreType.DMA((L,)),          # read sems
+                pltpu.SemaphoreType.DMA((L,)),          # write sems
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(bufs.shape, buf_dtype),
+            jax.ShapeDtypeStruct((n_samples, 1, b), jnp.int32),
+        ] + ([jax.ShapeDtypeStruct((n_samples, q, b), jnp.float32)]
+             if emit_logits else []),
+        # operands: seed(0), h0(1), e0(2), bufs(3), ... -> alias bufs.
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seed_base[None], *args)
+    if emit_logits:
+        _, classes, logits = out
+        return classes, logits
+    _, classes = out
+    return classes

@@ -68,3 +68,139 @@ def test_pallas_engine_conditioned():
         np.asarray(pal_logits), np.asarray(ref_logits), rtol=2e-5, atol=2e-5
     )
     np.testing.assert_array_equal(np.asarray(pal_cls), np.asarray(ref_cls))
+
+
+def test_turbo_engine_greedy_matches_xla():
+    """Deterministic (temperature=0) turbo path == XLA engine, incl. priming."""
+    params = init_params(jax.random.key(0), MICRO)
+    rng = jax.random.key(5)
+    # Prime the first 8 samples with a fixed pattern, then free-run greedily.
+    forced = jnp.concatenate(
+        [
+            jax.random.randint(jax.random.key(6), (B, 8), 0, 256),
+            jnp.full((B, T - 8), -1, jnp.int32),
+        ],
+        axis=1,
+    )
+    ref = generate_classes(
+        params, MICRO, rng, B, T, forced=forced, temperature=0.0, engine="xla"
+    )
+    turbo = generate_classes(
+        params, MICRO, rng, B, T, forced=forced, temperature=0.0, engine="turbo"
+    )
+    np.testing.assert_array_equal(np.asarray(turbo), np.asarray(ref))
+
+
+def test_turbo_engine_conditioned_greedy():
+    arch = ArchConfig(
+        n_blocks=1,
+        n_layers_per_block=3,
+        residual_channels=8,
+        skip_channels=8,
+        gate_channels=8,
+        n_mels=8,
+        cond_channels=8,
+        upsample_factors=(4,),
+        n_speakers=4,
+        speaker_embed_dim=6,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    from lb_wavenet_tpu.models.conditioning import upsample_cond
+
+    frames = jax.random.normal(jax.random.key(1), (B, 5, 8))
+    cond = upsample_cond(params["upsampler"], arch, frames, jnp.float32)
+    spk = jnp.asarray([1, 3])
+    rng = jax.random.key(2)
+    ref = generate_classes(
+        params, arch, rng, B, T, cond=cond, speaker_ids=spk, temperature=0.0,
+        engine="xla",
+    )
+    turbo = generate_classes(
+        params, arch, rng, B, T, cond=cond, speaker_ids=spk, temperature=0.0,
+        engine="turbo",
+    )
+    np.testing.assert_array_equal(np.asarray(turbo), np.asarray(ref))
+
+
+def test_turbo_sampling_runs():
+    """Stochastic turbo path: runs, in-range, deterministic per seed."""
+    params = init_params(jax.random.key(0), MICRO)
+    a = generate_classes(params, MICRO, jax.random.key(7), B, T, engine="turbo")
+    b2 = generate_classes(params, MICRO, jax.random.key(7), B, T, engine="turbo")
+    c = generate_classes(params, MICRO, jax.random.key(8), B, T, engine="turbo")
+    a, b2, c = map(np.asarray, (a, b2, c))
+    assert a.min() >= 0 and a.max() < 256
+    np.testing.assert_array_equal(a, b2)  # same seed -> same stream
+    assert (a != c).any()                 # different seed -> different stream
+
+
+def test_mega_engine_greedy_matches_xla():
+    """Mega kernel (whole loop in one pallas_call): greedy + primed == XLA."""
+    params = init_params(jax.random.key(0), MICRO)
+    rng = jax.random.key(5)
+    forced = jnp.concatenate(
+        [
+            jax.random.randint(jax.random.key(6), (B, 8), 0, 256),
+            jnp.full((B, T - 8), -1, jnp.int32),
+        ],
+        axis=1,
+    )
+    ref = generate_classes(
+        params, MICRO, rng, B, T, forced=forced, temperature=0.0, engine="xla"
+    )
+    mega = generate_classes(
+        params, MICRO, rng, B, T, forced=forced, temperature=0.0, engine="mega"
+    )
+    np.testing.assert_array_equal(np.asarray(mega), np.asarray(ref))
+
+
+def test_mega_engine_conditioned_greedy():
+    arch = ArchConfig(
+        n_blocks=1,
+        n_layers_per_block=3,
+        residual_channels=8,
+        skip_channels=8,
+        gate_channels=8,
+        n_mels=8,
+        cond_channels=8,
+        upsample_factors=(4,),
+        n_speakers=4,
+        speaker_embed_dim=6,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    from lb_wavenet_tpu.models.conditioning import upsample_cond
+
+    frames = jax.random.normal(jax.random.key(1), (B, 5, 8))
+    cond = upsample_cond(params["upsampler"], arch, frames, jnp.float32)
+    spk = jnp.asarray([1, 3])
+    rng = jax.random.key(2)
+    ref = generate_classes(
+        params, arch, rng, B, T, cond=cond, speaker_ids=spk, temperature=0.0,
+        engine="xla",
+    )
+    mega = generate_classes(
+        params, arch, rng, B, T, cond=cond, speaker_ids=spk, temperature=0.0,
+        engine="mega",
+    )
+    np.testing.assert_array_equal(np.asarray(mega), np.asarray(ref))
+
+
+def test_mega_teacher_forced_logits_match_xla():
+    """State-machine correctness without AR feedback amplification: fully
+    teacher-forced mega logits == XLA engine logits."""
+    params = init_params(jax.random.key(0), MICRO)
+    forced = jax.random.randint(jax.random.key(9), (B, T), 0, 256)
+    rng = jax.random.key(10)
+    _, ref_logits = generate_classes(
+        params, MICRO, rng, B, T, forced=forced, return_logits=True,
+        engine="xla",
+    )
+    _, mega_logits = generate_classes(
+        params, MICRO, rng, B, T, forced=forced, return_logits=True,
+        engine="mega", temperature=0.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mega_logits), np.asarray(ref_logits), rtol=2e-5, atol=2e-5
+    )
