@@ -9,8 +9,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Env knobs: BENCH_BATCH (default 128), BENCH_SAMPLES (default 2048),
-BENCH_CONFIG (arch preset: wavenet30 | stress), BENCH_PALLAS=1 to use the
-fused Pallas AR step kernel.
+BENCH_CONFIG (arch preset: wavenet30 | stress), BENCH_ENGINE
+(xla | pallas | turbo | mega; default mega, turbo when batch % 128 != 0).
 """
 import json
 import os
@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     import jax
+
+    # Persistent compilation cache: remote TPU compiles over this image's
+    # relay can take minutes under load; cached executables load in seconds.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from lb_wavenet_tpu.config import ArchConfig
     from lb_wavenet_tpu.generate import generate_classes
@@ -46,9 +52,13 @@ def main() -> int:
             skip_channels=256,
             gate_channels=64,
         )
-        batch = int(os.environ.get("BENCH_BATCH", "128"))
+        batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_samples = int(os.environ.get("BENCH_SAMPLES", "2048"))
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    # Engine: mega (whole loop in one Pallas kernel) is the production
+    # default; it requires batch % 128 == 0, else fall back to turbo.
+    engine = os.environ.get("BENCH_ENGINE", "")
+    if not engine:
+        engine = "mega" if batch % 128 == 0 else "turbo"
 
     params = init_params(jax.random.key(0), arch)
     params = jax.device_put(params)
@@ -63,7 +73,7 @@ def main() -> int:
             batch,
             n,
             temperature=1.0,
-            use_pallas=use_pallas,
+            engine=engine,
         )
         # NOTE: on the axon remote backend block_until_ready() can return
         # before execution completes; a host materialization is the only
@@ -97,7 +107,7 @@ def main() -> int:
                     "sample_rate": arch.sample_rate,
                     "steps_per_sec": round(n_samples / elapsed, 1),
                     "compile_s": round(compile_s - elapsed, 1),
-                    "pallas": use_pallas,
+                    "engine": engine,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

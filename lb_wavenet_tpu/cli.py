@@ -154,10 +154,17 @@ def main(argv=None) -> int:
     # This image's sitecustomize force-selects the axon TPU platform
     # programmatically (env JAX_PLATFORMS is overridden); WAVENET_PLATFORM
     # provides an explicit escape hatch (e.g. =cpu for host-only runs).
-    if os.environ.get("WAVENET_PLATFORM"):
-        import jax
+    import jax
 
+    if os.environ.get("WAVENET_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["WAVENET_PLATFORM"])
+    # Persistent compilation cache (remote TPU compiles are expensive).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("WAVENET_COMPILE_CACHE", "/root/.cache/jax"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     parser = argparse.ArgumentParser(prog="wavenet", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_train = sub.add_parser("train", help="teacher-forced training")

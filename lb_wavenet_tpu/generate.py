@@ -16,15 +16,20 @@ h_l(t) — a circular index update with NO data movement, unlike a shift-queue.
 Everything is batched over B utterances so the per-step matmuls keep the MXU
 fed.
 
-Two engines:
-  * `naive_sample` — slow-but-obviously-correct oracle: re-runs the full
-    training forward on the trailing receptive field for every sample.
-  * `generate` — the ring-buffer scan engine (optionally with the fused
-    Pallas step kernel, ops/pallas/ar_step.py).
+Engines (slowest/strongest-guarantees to fastest):
+  * `naive_sample` — oracle: re-runs the full training forward on the
+    trailing receptive field for every sample (tests only).
+  * engine="xla" — ring-buffer scan with a plain XLA body.
+  * engine="pallas" — fused all-layer Pallas stack kernel per step
+    (ops/pallas/ar_step.py); bit-matches "xla" including the RNG stream.
+  * engine="turbo" — the whole step in one kernel incl. Gumbel-max sampling
+    on the TPU PRNG (ops/pallas/ar_turbo.py).
+  * engine="mega" — the whole GENERATION LOOP in one pallas_call
+    (ops/pallas/ar_mega.py); fastest; batch must be a multiple of 128.
 
-Both consume the SAME parameter pytree as training `forward` — the
-Fast-WaveNet train≡incremental invariant is tested in
-tests/test_generate.py.
+All consume the SAME parameter pytree as training `forward` — the
+Fast-WaveNet train≡incremental invariant is tested in tests/test_generate.py
+and tests/test_pallas.py.
 """
 from __future__ import annotations
 

@@ -1,0 +1,68 @@
+"""CLI surface smoke tests (reference parity: train/generate entry points)."""
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(args, **kw):
+    env = dict(os.environ, WAVENET_PLATFORM="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "lb_wavenet_tpu.cli", *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+        **kw,
+    )
+
+
+def test_cli_rejects_bad_override():
+    out = _run(["train", "--set", "nonsense"], timeout=120)
+    assert out.returncode != 0
+    assert "section.key=value" in out.stderr
+
+
+def test_cli_train_generate_roundtrip(tmp_path):
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    for i in range(2):
+        write_wav(str(data / f"{i}.wav"), 0.4 * np.sin(2 * np.pi * (120 + 60 * i) * t), 16000)
+
+    ckpt, outdir = tmp_path / "ck", tmp_path / "out"
+    r = _run(
+        [
+            "train",
+            "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+            "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+            "--set", "arch.gate_channels=8", "--set", 'arch.compute_dtype="float32"',
+            "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=4",
+            "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+            "--set", "train.window_size=64", "--set", "train.log_every=2",
+            "--set", "train.checkpoint_every=4",
+            "--set", f'train.checkpoint_dir="{ckpt}"',
+        ],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert any(line.startswith("{") for line in r.stdout.splitlines())
+
+    r = _run(
+        [
+            "generate",
+            "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+            "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+            "--set", "arch.gate_channels=8", "--set", 'arch.compute_dtype="float32"',
+            "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=2",
+            "--set", "gen.n_samples=64", "--set", f'gen.out_dir="{outdir}"',
+        ],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert sorted(os.listdir(outdir)) == ["gen_0000.wav", "gen_0001.wav"]
