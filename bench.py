@@ -53,7 +53,7 @@ def main() -> int:
             gate_channels=64,
         )
         batch = int(os.environ.get("BENCH_BATCH", "256"))
-    n_samples = int(os.environ.get("BENCH_SAMPLES", "2048"))
+    n_samples = int(os.environ.get("BENCH_SAMPLES", "8192"))
     # Engine: mega (whole loop in one Pallas kernel) is the production
     # default; it requires batch % 128 == 0, else fall back to turbo.
     engine = os.environ.get("BENCH_ENGINE", "")
@@ -86,9 +86,12 @@ def main() -> int:
     run(n_samples)
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = run(n_samples)
-    elapsed = time.perf_counter() - t0
+    # Best of 3: the relay adds cross-run jitter; in-process reps are stable.
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(n_samples)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     assert out.shape == (batch, n_samples)
 
     audio_sec = batch * n_samples / arch.sample_rate

@@ -102,7 +102,11 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
             bufs_ref, cls_ref = refs[idx:idx + 2]
             logits_ref = None
             idx += 2
-        (h_s, e_s, tap_buf, hist_buf, rsem, wsem) = refs[idx:]
+        (h_s, e_s, hstate, rsem, wsem) = refs[idx:]
+        # hstate (L*2C, B): per layer a contiguous [current h | dilated tap]
+        # pair — rows [l*2C, l*2C+C) stage this step's h (DMA'd back to the
+        # ring), rows [l*2C+C, (l+1)*2C) receive the tap DMA. The gated
+        # matmul reads the (2C, B) pair directly: no concat materialization.
 
         t = pl.program_id(0)
 
@@ -110,6 +114,7 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         def _():
             h_s[:] = h0_ref[:]
             e_s[:] = e0_ref[:]
+            hstate[:] = jnp.zeros_like(hstate)
 
         def mm(w, a):
             # (M, K) @ (K, B) -> (M, B), fp32 accumulation on the MXU.
@@ -129,7 +134,7 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
                 slots[l] = slot
                 pltpu.make_async_copy(
                     bufs_ref.at[pl.ds(slot, c_dim)],
-                    tap_buf.at[pl.ds(l * c_dim, c_dim)],
+                    hstate.at[pl.ds(l * 2 * c_dim + c_dim, c_dim)],
                     rsem.at[l],
                 ).start()
 
@@ -137,41 +142,37 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         skip = None
         h = h_s[:]
         for l in range(L):
+            row0 = l * 2 * c_dim
             if dils[l] > 1:
-                # Order: read done -> prior write done -> stage h in hist ->
-                # write back -> compute.
+                # Order: tap read done -> prior write-back done -> stage h ->
+                # start write-back -> compute on the contiguous pair.
                 pltpu.make_async_copy(
                     bufs_ref.at[pl.ds(slots[l], c_dim)],
-                    tap_buf.at[pl.ds(l * c_dim, c_dim)],
+                    hstate.at[pl.ds(row0 + c_dim, c_dim)],
                     rsem.at[l],
                 ).wait()
-                h_prev = tap_buf[pl.ds(l * c_dim, c_dim)].astype(jnp.float32)
 
                 @pl.when(t > 0)
                 def _():
                     pltpu.make_async_copy(
-                        hist_buf.at[pl.ds(l * c_dim, c_dim)],
+                        hstate.at[pl.ds(row0, c_dim)],
                         bufs_ref.at[pl.ds(slots[l], c_dim)],
                         wsem.at[l],
                     ).wait()
 
-                hist_buf[pl.ds(l * c_dim, c_dim)] = h.astype(buf_dtype)
+                hstate[pl.ds(row0, c_dim)] = h.astype(buf_dtype)
                 pltpu.make_async_copy(
-                    hist_buf.at[pl.ds(l * c_dim, c_dim)],
+                    hstate.at[pl.ds(row0, c_dim)],
                     bufs_ref.at[pl.ds(slots[l], c_dim)],
                     wsem.at[l],
                 ).start()
             else:
-                # d == 1: the tap is last step's activation — still in VMEM.
-                h_prev = jnp.where(
-                    t > 0,
-                    hist_buf[pl.ds(l * c_dim, c_dim)].astype(jnp.float32),
-                    0.0,
-                )
-                hist_buf[pl.ds(l * c_dim, c_dim)] = h.astype(buf_dtype)
+                # d == 1: the tap is last step's activation — move it within
+                # the pair (one (C, B) VMEM copy; zeros at t == 0 from init).
+                hstate[pl.ds(row0 + c_dim, c_dim)] = hstate[pl.ds(row0, c_dim)]
+                hstate[pl.ds(row0, c_dim)] = h.astype(buf_dtype)
 
-            hcat = jnp.concatenate([h, h_prev], axis=0)  # (2C, B)
-            pre = mm(wcat_ref[l], hcat) + b_ref[l]       # (2G, B)
+            pre = mm(wcat_ref[l], hstate[pl.ds(row0, 2 * c_dim)]) + b_ref[l]
             if has_cond:
                 pre = pre + mm(wcond_ref[l], cond_ref[0])
             g = pre.shape[0] // 2
@@ -187,7 +188,7 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
             for l in range(L):
                 if dils[l] > 1:
                     pltpu.make_async_copy(
-                        hist_buf.at[pl.ds(l * c_dim, c_dim)],
+                        hstate.at[pl.ds(l * 2 * c_dim, c_dim)],
                         bufs_ref.at[pl.ds(slots[l], c_dim)],
                         wsem.at[l],
                     ).wait()
@@ -255,9 +256,18 @@ def mega_generate(
     gch = two_g // 2
     s = arch.skip_channels
     q = arch.quant_channels
+    dt = jnp.dtype(arch.compute_dtype)
+    # NOTE: bf16 ring buffers / VMEM weights were tried (mathematically
+    # equivalent for bf16 archs since the matmul casts anyway) and MEASURED
+    # SLOWER on v5e (269 vs 320 audio-sec/s @ B=256; 126 vs 412 @ B=512):
+    # the (16,128) bf16 tiling forces VPU pack/relayout on every f32<->bf16
+    # staging store. fp32 residency wins; keep buf_dtype fp32.
     buf_dtype = jnp.float32
     pp = params["post"]
     w_in = params["input_conv"]["w"]
+
+    def wcast(x):
+        return x
 
     if not interpret and b % 128 != 0:
         raise ValueError(
@@ -297,12 +307,14 @@ def mega_generate(
     ]
     args = [
         tr(h0), tr(e0), bufs,
-        wcat, lp["b"][:, :, None],
-        tr(lp["w_res"]), lp["b_res"][:, :, None],
-        tr(lp["w_skip"]), lp["b_skip"][:, :, None],
-        tr(pp["w1"]), pp["b1"][:, None], tr(pp["w2"]), pp["b2"][:, None],
-        tr(params["embed"]),
-        tr(w_in[0]), tr(w_in[1]), params["input_conv"]["b"][:, None],
+        wcast(wcat), lp["b"][:, :, None],
+        wcast(tr(lp["w_res"])), lp["b_res"][:, :, None],
+        wcast(tr(lp["w_skip"])), lp["b_skip"][:, :, None],
+        wcast(tr(pp["w1"])), pp["b1"][:, None],
+        wcast(tr(pp["w2"])), pp["b2"][:, None],
+        wcast(tr(params["embed"])),
+        wcast(tr(w_in[0])), wcast(tr(w_in[1])),
+        params["input_conv"]["b"][:, None],
         forced_ts,
     ]
     if has_cond:
@@ -312,7 +324,7 @@ def mega_generate(
                          memory_space=pltpu.VMEM),
             whole((L, two_g, cc)),
         ]
-        args += [tr(cond_ts), tr(lp["w_cond"])]
+        args += [tr(cond_ts), wcast(tr(lp["w_cond"]))]
 
     kernel = _make_mega_kernel(
         arch, temperature, has_cond, use_hw_prng=not interpret,
@@ -334,8 +346,7 @@ def mega_generate(
             scratch_shapes=[
                 pltpu.VMEM((c, b), jnp.float32),        # h_s
                 pltpu.VMEM((c, b), jnp.float32),        # e_s
-                pltpu.VMEM((L * c, b), buf_dtype),      # tap_buf
-                pltpu.VMEM((L * c, b), buf_dtype),      # hist_buf
+                pltpu.VMEM((L * 2 * c, b), buf_dtype),  # hstate [h | tap] pairs
                 pltpu.SemaphoreType.DMA((L,)),          # read sems
                 pltpu.SemaphoreType.DMA((L,)),          # write sems
             ],
