@@ -207,6 +207,39 @@ def make_batches(
         step += 1
 
 
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run `iterator` in a daemon thread, keeping `depth` items ready.
+
+    Overlaps host-side batch construction (windowing, mel extraction) with
+    device steps — the input-pipeline half of SURVEY.md §5's determinism
+    story is unchanged (the underlying iterator is still the seeded,
+    deterministic make_batches stream; this only shifts WHEN items are
+    computed).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except Exception as e:  # surface errors on the consumer side
+            q.put(e)
+        q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
 def synthetic_corpus(
     arch: ArchConfig,
     window_size: int,

@@ -22,7 +22,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .config import ArchConfig, Config, TrainConfig
-from .data import Batch, Corpus, make_batches
+from .data import Batch, Corpus, make_batches, prefetch
 from .models.wavenet import forward, init_params, masked_loss
 from .parallel.mesh import make_mesh, shard_batch, shard_params
 from .utils import checkpoint as ckpt_lib
@@ -109,13 +109,15 @@ def run_training(
     manager = ckpt_lib.make_manager(train.checkpoint_dir)
     state, start_step = ckpt_lib.restore_if_available(manager, state)
 
-    batches = make_batches(
-        corpus,
-        train,
-        host_id=host_id,
-        host_count=host_count,
-        start_step=start_step,
-        with_mel=arch.use_local_cond,
+    batches = prefetch(
+        make_batches(
+            corpus,
+            train,
+            host_id=host_id,
+            host_count=host_count,
+            start_step=start_step,
+            with_mel=arch.use_local_cond,
+        )
     )
     metrics = MetricsLogger(train.metrics_path, enabled=host_id == 0)
     total = n_steps if n_steps is not None else train.n_steps
