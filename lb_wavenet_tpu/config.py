@@ -90,6 +90,7 @@ class TrainConfig:
     metrics_path: str = ""            # JSONL metrics stream ("" → stdout only)
     mesh_data: int = -1               # -1: all devices on the data axis
     mesh_model: int = 1
+    remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
 
 
 @dataclass(frozen=True)

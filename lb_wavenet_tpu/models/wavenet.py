@@ -106,6 +106,37 @@ def _mm(x: jnp.ndarray, w: jnp.ndarray, dtype) -> jnp.ndarray:
     )
 
 
+def gated_unit(
+    x: jnp.ndarray,
+    x_prev: jnp.ndarray,
+    layer_params: Params,
+    i: int,
+    dtype,
+    cond: Optional[jnp.ndarray] = None,
+    gcond: Optional[jnp.ndarray] = None,
+):
+    """Gated activation + residual update; returns (residual_out, z).
+
+    The skip contribution is z @ w_skip[i] + b_skip[i]; `forward` computes
+    ALL layers' skip contributions as one stacked einsum (see there), so the
+    unit returns z rather than the projected skip.
+    """
+    lp = layer_params
+    pre = (
+        _mm(x, lp["w_cur"][i], dtype)
+        + _mm(x_prev, lp["w_prev"][i], dtype)
+        + lp["b"][i]
+    )
+    if cond is not None:
+        pre = pre + _mm(cond, lp["w_cond"][i], dtype)
+    if gcond is not None:
+        pre = pre + _mm(gcond, lp["w_gcond"][i], dtype)
+    g = lp["w_cur"].shape[-1] // 2
+    z = jnp.tanh(pre[..., :g]) * jax.nn.sigmoid(pre[..., g:])
+    res = x + _mm(z, lp["w_res"][i], dtype) + lp["b_res"][i]
+    return res, z
+
+
 def gated_layer(
     x: jnp.ndarray,
     x_prev: jnp.ndarray,
@@ -121,18 +152,7 @@ def gated_layer(
     the contract the incremental engines replicate step-wise.
     """
     lp = layer_params
-    pre = (
-        _mm(x, lp["w_cur"][i], dtype)
-        + _mm(x_prev, lp["w_prev"][i], dtype)
-        + lp["b"][i]
-    )
-    if cond is not None:
-        pre = pre + _mm(cond, lp["w_cond"][i], dtype)
-    if gcond is not None:
-        pre = pre + _mm(gcond, lp["w_gcond"][i], dtype)
-    g = lp["w_cur"].shape[-1] // 2
-    z = jnp.tanh(pre[..., :g]) * jax.nn.sigmoid(pre[..., g:])
-    res = x + _mm(z, lp["w_res"][i], dtype) + lp["b_res"][i]
+    res, z = gated_unit(x, x_prev, layer_params, i, dtype, cond, gcond)
     skip = _mm(z, lp["w_skip"][i], dtype) + lp["b_skip"][i]
     return res, skip
 
@@ -177,12 +197,18 @@ def forward(
     cond_frames: Optional[jnp.ndarray] = None,
     speaker_ids: Optional[jnp.ndarray] = None,
     input_mask: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Teacher-forced forward: classes (B, T) -> logits (B, T, Q).
 
     logits[:, t] is the categorical distribution over sample t+1. The layer
     loop is unrolled in Python (L is static and small) so every dilation's
     shift lowers to a pad/slice and every matmul hits the MXU.
+
+    remat=True wraps each gated layer in jax.checkpoint: activations are
+    recomputed in the backward pass, cutting peak activation memory ~L-fold
+    for long windows (jax.checkpoint is the TPU way to trade MXU FLOPs for
+    HBM capacity).
     """
     dtype = jnp.dtype(arch.compute_dtype)
     lp = params["layers"]
@@ -197,14 +223,28 @@ def forward(
         gcond = params["speaker_embed"][speaker_ids][:, None, :]  # (B, 1, E)
 
     h = input_frontend(params, arch, x_classes, dtype, input_mask=input_mask)
-    skip_sum = jnp.zeros(
-        h.shape[:-1] + (arch.skip_channels,), dtype=jnp.float32
-    )
-    for i, d in enumerate(arch.dilations):
-        h, skip = gated_layer(
+    def one_layer(h, i, d):
+        return gated_unit(
             h, shift_right(h, d), lp, i, dtype, cond=cond, gcond=gcond
         )
-        skip_sum = skip_sum + skip
+
+    if remat:
+        one_layer = jax.checkpoint(one_layer, static_argnums=(1, 2))
+    zs = []
+    for i, d in enumerate(arch.dilations):
+        h, z = one_layer(h, i, d)
+        zs.append(z)
+    # Skip accumulation as ONE stacked contraction over (layer, gate): the
+    # 30-step (B, T, S) read-modify-write chain (the training step's HBM
+    # bottleneck — ~3.5 GB/step at B=8, W=4096) becomes MXU-internal
+    # accumulation. Bias sum is constant: sum_l b_skip[l].
+    z_all = jnp.stack(zs, axis=0)  # (L, B, T, G)
+    skip_sum = jax.lax.dot_general(
+        z_all.astype(dtype),
+        params["layers"]["w_skip"].astype(dtype),
+        (((0, 3), (0, 1)), ((), ())),  # contract (l, g) -> (B, T, S)
+        preferred_element_type=jnp.float32,
+    ) + jnp.sum(params["layers"]["b_skip"], axis=0)
     return post_network(params, skip_sum, dtype)
 
 

@@ -49,13 +49,15 @@ def init_state(rng, arch: ArchConfig, train: TrainConfig) -> TrainState:
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
 
-def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict):
+def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
+            remat: bool = False):
     logits = forward(
         params,
         arch,
         batch["inputs"],
         cond_frames=batch.get("mel"),
         speaker_ids=batch.get("speaker"),
+        remat=remat,
     )
     return masked_loss(logits, batch["targets"], batch["mask"], window_size)
 
@@ -67,7 +69,7 @@ def train_step(
     state: TrainState, batch: dict, arch: ArchConfig, train: TrainConfig
 ):
     loss, grads = jax.value_and_grad(loss_fn)(
-        state.params, arch, train.window_size, batch
+        state.params, arch, train.window_size, batch, train.remat
     )
     updates, opt_state = make_optimizer(train).update(
         grads, state.opt_state, state.params
