@@ -112,6 +112,37 @@ def cmd_generate(args) -> int:
             )
         cond_frames = np.load(args.mel)
 
+    forced = None
+    if args.prime:
+        from .data import load_wav
+        from .ops.mulaw import mu_law_encode
+        import jax.numpy as jnp
+
+        wav_p, sr = load_wav(args.prime)
+        if sr != cfg.arch.sample_rate:
+            raise SystemExit(
+                f"--prime sample rate {sr} != arch {cfg.arch.sample_rate}"
+            )
+        n_prime = min(len(wav_p), cfg.gen.n_samples)
+        classes = np.asarray(
+            mu_law_encode(jnp.asarray(wav_p[:n_prime]), cfg.arch.quant_channels)
+        )
+        forced = np.full(
+            (cfg.gen.batch_size, cfg.gen.n_samples), -1, np.int32
+        )
+        forced[:, :n_prime] = classes[None, :]
+
+    speaker_ids = None
+    if args.speakers:
+        ids = [int(x) for x in args.speakers.split(",")]
+        if len(ids) == 1:
+            ids = ids * cfg.gen.batch_size
+        if len(ids) != cfg.gen.batch_size:
+            raise SystemExit(
+                f"--speakers needs 1 or {cfg.gen.batch_size} ids, got {len(ids)}"
+            )
+        speaker_ids = np.asarray(ids, np.int32)
+
     if args.profile:
         jax.profiler.start_trace(args.profile)
     wav = generate(
@@ -121,6 +152,8 @@ def cmd_generate(args) -> int:
         batch=cfg.gen.batch_size,
         n_samples=cfg.gen.n_samples,
         cond_frames=cond_frames,
+        speaker_ids=speaker_ids,
+        forced=forced,
         temperature=cfg.gen.temperature,
         use_pallas=cfg.gen.use_pallas,
         engine=cfg.gen.engine or None,
@@ -172,6 +205,18 @@ def main(argv=None) -> int:
     p_gen = sub.add_parser("generate", help="batched AR synthesis")
     _add_common(p_gen)
     p_gen.add_argument("--mel", default="", help=".npy mel frames (B, F, n_mels)")
+    p_gen.add_argument(
+        "--prime",
+        default="",
+        help="wav file whose samples prime the generator (the reference's "
+        "primed-queue mode): synthesis continues past the recording",
+    )
+    p_gen.add_argument(
+        "--speakers",
+        default="",
+        help="comma-separated speaker ids (global conditioning), one per "
+        "batch lane or a single id broadcast",
+    )
     args = parser.parse_args(argv)
     return {"train": cmd_train, "generate": cmd_generate}[args.cmd](args)
 

@@ -409,11 +409,17 @@ def generate(
     n_samples: int,
     cond_frames: Optional[jnp.ndarray] = None,   # (B, F, n_mels) frame-rate
     speaker_ids: Optional[jnp.ndarray] = None,
+    forced: Optional[jnp.ndarray] = None,        # (B, T) classes, -1 = free
     temperature: float = 1.0,
     use_pallas: bool = False,
     engine: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Synthesize waveforms (B, n_samples) in [-1, 1]."""
+    """Synthesize waveforms (B, n_samples) in [-1, 1].
+
+    `forced` primes the generator (the reference's primed-queue mode): any
+    position with forced[b, t] >= 0 emits that class and updates state from
+    it; -1 positions free-run.
+    """
     cond = None
     if cond_frames is not None:
         from .models.conditioning import upsample_cond
@@ -429,6 +435,7 @@ def generate(
         n_samples,
         cond=cond,
         speaker_ids=speaker_ids,
+        forced=jnp.asarray(forced) if forced is not None else None,
         temperature=temperature,
         use_pallas=use_pallas,
         engine=engine,

@@ -358,7 +358,13 @@ def mega_generate(
              if emit_logits else []),
         # operands: seed(0), h0(1), e0(2), bufs(3), ... -> alias bufs.
         input_output_aliases={3: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # The default scoped-VMEM cap (16 MB) is below what v5e offers;
+            # large-batch / conditioned / emit_logits variants need headroom
+            # for weights + the (L*2C, B) pair scratch + pipeline buffers.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(seed_base[None], *args)
     if emit_logits:

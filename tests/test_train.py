@@ -79,3 +79,45 @@ def test_loss_decreases(tmp_path):
     # not convergence.
     assert losses[-1] < 5.4
     assert losses[-1] < losses[0] - 0.1
+
+
+def test_checkpoint_restores_onto_different_mesh(tmp_path):
+    """Sharding-agnostic checkpoints (SURVEY.md §5): save on a 4-way data
+    mesh, restore onto a 2x2 data x model mesh."""
+    import jax
+    from lb_wavenet_tpu.parallel.mesh import make_mesh, shard_params
+    from lb_wavenet_tpu.train import init_state, train_step
+    from lb_wavenet_tpu.utils import checkpoint as ckpt_lib
+
+    corpus = synthetic_corpus(MICRO, 64, n_files=2, file_len=2000)
+    cfg = _cfg(tmp_path / "m", 4, 4)
+    state_a = run_training(cfg, corpus=corpus)  # saved on mesh (4, 1)
+
+    mesh_b = make_mesh(2, 2)
+    template = shard_params(
+        init_state(jax.random.key(0), cfg.arch, cfg.train), mesh_b
+    )
+    manager = ckpt_lib.make_manager(str(tmp_path / "m"))
+    restored, step = ckpt_lib.restore_if_available(manager, template)
+    assert step == 4
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state_a.params,
+        restored.params,
+    )
+    # And the restored state trains on the new mesh.
+    import numpy as _np
+    from lb_wavenet_tpu.parallel.mesh import shard_batch
+
+    rng = _np.random.default_rng(0)
+    r = MICRO.receptive_field
+    batch = shard_batch(
+        {
+            "inputs": rng.integers(0, 256, (4, r - 1 + 64)).astype(_np.int32),
+            "targets": rng.integers(0, 256, (4, 64)).astype(_np.int32),
+            "mask": _np.ones((4, 64), _np.float32),
+        },
+        mesh_b,
+    )
+    restored, loss = train_step(restored, batch, cfg.arch, cfg.train)
+    assert _np.isfinite(float(loss))
