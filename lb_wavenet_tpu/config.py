@@ -91,6 +91,7 @@ class TrainConfig:
     mesh_data: int = -1               # -1: all devices on the data axis
     mesh_model: int = 1
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
+    fused_stack: bool = False         # fused Pallas training-stack kernel
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,542 @@
+"""Fused training-stack kernels: whole dilated stack fwd + custom-VJP bwd.
+
+SURVEY.md §2.2 names this the training-side speed-of-light target. The XLA
+training step is HBM-bound on per-layer activation traffic (pre, z, res,
+skip round-trips: ~60 MB per batch row per direction). These kernels keep
+the residual stream and the skip accumulator IN VMEM across all layers:
+
+  Forward  — grid (B, L): per batch row, layers run sequentially with the
+  (T, C) residual stream and (T, S) skip accumulator in scratch. Only the
+  gate output z (the minimal sufficient statistic) is written to HBM for
+  the backward pass, plus the final skip sum. A dilated shift is free: the
+  1x1-ness of every projection means shift(x) @ W == shift(x @ W), realized
+  as a dynamic slice of a zero-padded VMEM staging buffer (dilation is
+  scalar-prefetched).
+
+  Backward — grid (B, L) with layers reversed: the residual stream is
+  RECONSTRUCTED backwards (x_l = x_{l+1} - z_l @ w_res - b_res; bitwise the
+  same product as forward, so reconstruction error is one rounding of the
+  residual add), pre-activations are recomputed from it, and all weight
+  gradients accumulate in VMEM scratch across the entire grid, written out
+  once at the last step. Gradients stream: dx via the transposed
+  projections with the adjoint (left) shift; dh0 and d(cond) emerge at the
+  last reverse layer.
+
+Exposed as `fused_stack(...)` with jax.custom_vjp — a drop-in for the layer
+loop of models/wavenet.forward (training path: TrainConfig.fused_stack).
+Parity: tests/test_train_kernel.py checks fwd and grads against the XLA
+path in interpret mode; on-chip validation in BASELINE.md.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import ArchConfig
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _fwd_kernel(
+    dils_ref,                      # (L,) scalar prefetch
+    h0_ref,                        # (1, T, C) this row's input
+    wc_ref, wp_ref, b_ref,         # (1,C,2G) (1,C,2G) (1,1,2G)
+    wr_ref, br_ref,                # (1,G,C) (1,1,C)
+    ws_ref, bs_ref,                # (1,G,S) (1,1,S)
+    cond_ref, wcond_ref,           # (1,T,Cc) (1,Cc,2G) or None
+    z_ref,                         # out (1,1,T,G)
+    skip_ref,                      # out (1,T,S)
+    x_s, skip_s, stage_s,          # scratch (T,C) (T,S) (T+maxd,2G)
+    *,
+    compute_dtype,
+    n_layers: int,
+    max_d: int,
+):
+    l = pl.program_id(1)
+    dt = compute_dtype
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a.astype(dt), w.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(l == 0)
+    def _():
+        x_s[:] = h0_ref[0]
+
+    d = dils_ref[l]
+    x = x_s[:]
+    xc = mm(x, wc_ref[0])
+    xp = mm(x, wp_ref[0])
+    # shift(x) @ Wp == shift(x @ Wp): zero-pad then dynamic-slice by d.
+    stage_s[pl.ds(0, max_d)] = jnp.zeros_like(stage_s[pl.ds(0, max_d)])
+    stage_s[pl.ds(max_d, xp.shape[0])] = xp
+    xp_shifted = stage_s[pl.ds(max_d - d, xp.shape[0])]
+    pre = xc + xp_shifted + b_ref[0, 0]
+    if cond_ref is not None:
+        pre = pre + mm(cond_ref[0], wcond_ref[0])
+    g = pre.shape[-1] // 2
+    z = jnp.tanh(pre[:, :g]) * jax.nn.sigmoid(pre[:, g:])
+    z_ref[0, 0] = z
+    x_s[:] = x + mm(z, wr_ref[0]) + br_ref[0, 0]
+    contrib = mm(z, ws_ref[0]) + bs_ref[0, 0]
+
+    @pl.when(l == 0)
+    def _():
+        skip_s[:] = contrib
+
+    @pl.when(l > 0)
+    def _():
+        skip_s[:] = skip_s[:] + contrib
+
+    @pl.when(l == n_layers - 1)
+    def _():
+        skip_ref[0] = skip_s[:]
+
+
+def _bwd_kernel(
+    dils_ref,                      # (L,) scalar prefetch (forward order)
+    gskip_ref,                     # (1, T, S) dL/dskip_sum for this row
+    xfin_ref,                      # (1, T, C) forward-final residual stream
+    z_ref,                         # (1, 1, T, G) saved z for layer lr
+    wc_ref, wp_ref,                # (1,C,2G) x2      [layer lr]
+    b_ref,                         # (1,1,2G)
+    wr_ref, br_ref,                # (1,G,C) (1,1,C)
+    wcT_ref, wpT_ref,              # (1,2G,C) x2 transposed
+    wrT_ref,                       # (1,C,G)
+    wsT_ref,                       # (1,S,G)
+    cond_ref, wcond_ref, wcondT_ref,  # (1,T,Cc) (1,Cc,2G) (1,2G,Cc) or None
+    # outputs
+    dh0_ref,                       # (1, T, C) @ row
+    dwc_ref, dwp_ref, db_ref,      # (L,C,2G) (L,C,2G) (L,1,2G) whole
+    dwr_ref, dbr_ref,              # (L,G,C) (L,1,C)
+    dws_ref, dbs_ref,              # (L,G,S) (L,1,S)
+    dcond_ref, dwcond_ref,         # (1,T,Cc) @ row, (L,Cc,2G) whole, or None
+    # scratch
+    x_s, dx_s, stage_s, stage2_s,
+    dwc_s, dwp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s, dwcond_s, dcond_s,
+    *,
+    compute_dtype,
+    n_layers: int,
+    max_d: int,
+):
+    li = pl.program_id(1)           # 0 .. L-1, layer lr = L-1-li (blocks
+    b_id = pl.program_id(0)         # already reverse-indexed via index_map)
+    dt = compute_dtype
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a.astype(dt), w.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mmT(a, bmat):
+        # contract over T: (T, M)^T @ (T, N) -> (M, N)
+        return jax.lax.dot_general(
+            a.astype(dt), bmat.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    t_dim = x_s.shape[0]
+    first = jnp.logical_and(b_id == 0, li == 0)
+
+    @pl.when(first)
+    def _():
+        dwc_s[:] = jnp.zeros_like(dwc_s)
+        dwp_s[:] = jnp.zeros_like(dwp_s)
+        db_s[:] = jnp.zeros_like(db_s)
+        dwr_s[:] = jnp.zeros_like(dwr_s)
+        dbr_s[:] = jnp.zeros_like(dbr_s)
+        dws_s[:] = jnp.zeros_like(dws_s)
+        dbs_s[:] = jnp.zeros_like(dbs_s)
+        if dwcond_s is not None:
+            dwcond_s[:] = jnp.zeros_like(dwcond_s)
+
+    @pl.when(li == 0)
+    def _():
+        x_s[:] = xfin_ref[0]
+        dx_s[:] = jnp.zeros_like(dx_s)
+        if dcond_s is not None:
+            dcond_s[:] = jnp.zeros_like(dcond_s)
+
+    d = dils_ref[n_layers - 1 - li]   # dilation of the actual layer lr
+    z = z_ref[0, 0]
+    dx_next = dx_s[:]
+    gskip = gskip_ref[0]
+
+    # Reconstruct layer input: x_lr = x_{lr+1} - (z @ w_res + b_res).
+    x_cur = x_s[:] - mm(z, wr_ref[0]) - br_ref[0, 0]
+    x_s[:] = x_cur
+
+    # Recompute pre-activation (same formula as forward).
+    xc = mm(x_cur, wc_ref[0])
+    xp = mm(x_cur, wp_ref[0])
+    stage_s[pl.ds(0, max_d)] = jnp.zeros_like(stage_s[pl.ds(0, max_d)])
+    stage_s[pl.ds(max_d, t_dim)] = xp
+    pre = xc + stage_s[pl.ds(max_d - d, t_dim)] + b_ref[0, 0]
+    if cond_ref is not None:
+        pre = pre + mm(cond_ref[0], wcond_ref[0])
+    g = pre.shape[-1] // 2
+    tanh_v = jnp.tanh(pre[:, :g])
+    sig_v = jax.nn.sigmoid(pre[:, g:])
+
+    # dz from both consumers (skip projection and residual branch).
+    dz = mm(gskip, wsT_ref[0]) + mm(dx_next, wrT_ref[0])
+    dpre = jnp.concatenate(
+        [
+            dz * sig_v * (1.0 - tanh_v * tanh_v),
+            dz * tanh_v * sig_v * (1.0 - sig_v),
+        ],
+        axis=-1,
+    )
+
+    # dx: residual passthrough + both tap adjoints (left-shift for w_prev).
+    dproj_p = mm(dpre, wpT_ref[0])                     # (T, C)
+    stage2_s[pl.ds(0, t_dim), :] = dproj_p
+    stage2_s[pl.ds(t_dim, max_d), :] = jnp.zeros_like(
+        stage2_s[pl.ds(t_dim, max_d), :]
+    )
+    dx_cur = dx_next + mm(dpre, wcT_ref[0]) + stage2_s[pl.ds(d, t_dim), :]
+    dx_s[:] = dx_cur
+
+    # Weight/bias gradient accumulation (over both grid axes).
+    c_dim = x_cur.shape[-1]
+    lr = n_layers - 1 - li
+    row_c = lr * c_dim
+    g_dim = z.shape[-1]
+    row_g = lr * g_dim
+    # shift(x_cur, d) for dwp: reuse stage_s layout with x columns.
+    dwc_s[pl.ds(row_c, c_dim)] = dwc_s[pl.ds(row_c, c_dim)] + mmT(x_cur, dpre)
+    # x shifted right by d (same padding trick; stage2 is C wide).
+    stage2_s[pl.ds(0, max_d), :] = jnp.zeros_like(
+        stage2_s[pl.ds(0, max_d), :]
+    )
+    stage2_s[pl.ds(max_d, t_dim), :] = x_cur
+    x_shift = stage2_s[pl.ds(max_d - d, t_dim), :]
+    dwp_s[pl.ds(row_c, c_dim)] = dwp_s[pl.ds(row_c, c_dim)] + mmT(x_shift, dpre)
+    db_s[pl.ds(lr, 1)] = db_s[pl.ds(lr, 1)] + jnp.sum(
+        dpre, axis=0, keepdims=True
+    )
+    dwr_s[pl.ds(row_g, g_dim)] = dwr_s[pl.ds(row_g, g_dim)] + mmT(z, dx_next)
+    dbr_s[pl.ds(lr, 1)] = dbr_s[pl.ds(lr, 1)] + jnp.sum(
+        dx_next, axis=0, keepdims=True
+    )
+    dws_s[pl.ds(row_g, g_dim)] = dws_s[pl.ds(row_g, g_dim)] + mmT(z, gskip)
+    dbs_s[pl.ds(lr, 1)] = dbs_s[pl.ds(lr, 1)] + jnp.sum(
+        gskip, axis=0, keepdims=True
+    )
+    if cond_ref is not None:
+        cc = cond_ref.shape[-1]
+        row_cc = lr * cc
+        dwcond_s[pl.ds(row_cc, cc)] = dwcond_s[pl.ds(row_cc, cc)] + mmT(
+            cond_ref[0], dpre
+        )
+        dcond_s[:] = dcond_s[:] + mm(dpre, wcondT_ref[0])
+
+    @pl.when(li == n_layers - 1)
+    def _():
+        dh0_ref[0] = dx_s[:]
+        if dcond_ref is not None:
+            dcond_ref[0] = dcond_s[:]
+
+    last = jnp.logical_and(
+        b_id == pl.num_programs(0) - 1, li == n_layers - 1
+    )
+
+    @pl.when(last)
+    def _():
+        L = n_layers
+        dwc_ref[:] = dwc_s[:].reshape(dwc_ref.shape)
+        dwp_ref[:] = dwp_s[:].reshape(dwp_ref.shape)
+        db_ref[:] = db_s[:].reshape(db_ref.shape)
+        dwr_ref[:] = dwr_s[:].reshape(dwr_ref.shape)
+        dbr_ref[:] = dbr_s[:].reshape(dbr_ref.shape)
+        dws_ref[:] = dws_s[:].reshape(dws_ref.shape)
+        dbs_ref[:] = dbs_s[:].reshape(dbs_ref.shape)
+        if dwcond_ref is not None:
+            dwcond_ref[:] = dwcond_s[:].reshape(dwcond_ref.shape)
+
+
+def _whole(shape):
+    # index maps take (b, l, *scalar_prefetch_refs)
+    return pl.BlockSpec(
+        shape, lambda b, l, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+
+def _row(shape):
+    return pl.BlockSpec(
+        (1,) + shape, lambda b, l, *_: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _lyr(shape, rev=False):
+    if rev:
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda b, l, *_: (pl.num_programs(1) - 1 - l,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (1,) + shape, lambda b, l, *_: (l,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret):
+    L = len(arch.dilations)
+    bsz, t_dim, c = h0.shape
+    two_g = lp["w_cur"].shape[-1]
+    gch = two_g // 2
+    s = arch.skip_channels
+    max_d = max(arch.dilations)
+    dt = jnp.dtype(arch.compute_dtype)
+    dils = jnp.asarray(arch.dilations, jnp.int32)
+
+    in_specs = [
+        _row((t_dim, c)),
+        _lyr((c, two_g)), _lyr((c, two_g)), _lyr((1, two_g)),
+        _lyr((gch, c)), _lyr((1, c)),
+        _lyr((gch, s)), _lyr((1, s)),
+    ]
+    args = [
+        h0,
+        lp["w_cur"], lp["w_prev"], lp["b"][:, None, :],
+        lp["w_res"], lp["b_res"][:, None, :],
+        lp["w_skip"], lp["b_skip"][:, None, :],
+    ]
+    has_cond = cond is not None
+    if has_cond:
+        cc = lp["w_cond"].shape[1]
+        in_specs += [_row((t_dim, cc)), _lyr((cc, two_g))]
+        args += [cond, lp["w_cond"]]
+        kernel = functools.partial(
+            _fwd_kernel, compute_dtype=dt, n_layers=L, max_d=max_d
+        )
+    else:
+        def kernel(dils_r, h0_r, wc, wp, bb, wr, br, ws, bs, z_r, skip_r,
+                   x_s, skip_s, stage_s):
+            return _fwd_kernel(
+                dils_r, h0_r, wc, wp, bb, wr, br, ws, bs, None, None,
+                z_r, skip_r, x_s, skip_s, stage_s,
+                compute_dtype=dt, n_layers=L, max_d=max_d,
+            )
+
+    z_all, skip = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, L),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, t_dim, gch),
+                    lambda b, l, *_: (b, l, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                _row((t_dim, s)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((t_dim, c), jnp.float32),
+                pltpu.VMEM((t_dim, s), jnp.float32),
+                pltpu.VMEM((t_dim + max_d, two_g), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, L, t_dim, gch), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, t_dim, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(dils, *args)
+    return z_all, skip
+
+
+def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
+              interpret):
+    L = len(arch.dilations)
+    bsz, t_dim, c = h0.shape
+    two_g = lp["w_cur"].shape[-1]
+    gch = two_g // 2
+    s = arch.skip_channels
+    max_d = max(arch.dilations)
+    dt = jnp.dtype(arch.compute_dtype)
+    dils = jnp.asarray(arch.dilations, jnp.int32)
+
+    def tr(x):
+        return jnp.swapaxes(x, -1, -2)
+
+    in_specs = [
+        _row((t_dim, s)),                       # g_skip
+        _row((t_dim, c)),                       # x_final
+        pl.BlockSpec(                           # z of layer L-1-l
+            (1, 1, t_dim, gch),
+            lambda b, l, *_: (b, pl.num_programs(1) - 1 - l, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        _lyr((c, two_g), rev=True), _lyr((c, two_g), rev=True),
+        _lyr((1, two_g), rev=True),
+        _lyr((gch, c), rev=True), _lyr((1, c), rev=True),
+        _lyr((two_g, c), rev=True), _lyr((two_g, c), rev=True),  # wcT wpT
+        _lyr((c, gch), rev=True),                                # wrT
+        _lyr((s, gch), rev=True),                                # wsT
+    ]
+    args = [
+        g_skip, x_final, z_all,
+        lp["w_cur"], lp["w_prev"], lp["b"][:, None, :],
+        lp["w_res"], lp["b_res"][:, None, :],
+        tr(lp["w_cur"]), tr(lp["w_prev"]),
+        tr(lp["w_res"]),
+        tr(lp["w_skip"]),
+    ]
+    has_cond = cond is not None
+    cc = lp["w_cond"].shape[1] if has_cond else 0
+    if has_cond:
+        in_specs += [
+            _row((t_dim, cc)),
+            _lyr((cc, two_g), rev=True),
+            _lyr((two_g, cc), rev=True),
+        ]
+        args += [cond, lp["w_cond"], tr(lp["w_cond"])]
+
+    out_specs = [
+        _row((t_dim, c)),                       # dh0
+        _whole((L, c, two_g)), _whole((L, c, two_g)), _whole((L, 1, two_g)),
+        _whole((L, gch, c)), _whole((L, 1, c)),
+        _whole((L, gch, s)), _whole((L, 1, s)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, t_dim, c), jnp.float32),
+        jax.ShapeDtypeStruct((L, c, two_g), jnp.float32),
+        jax.ShapeDtypeStruct((L, c, two_g), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, two_g), jnp.float32),
+        jax.ShapeDtypeStruct((L, gch, c), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((L, gch, s), jnp.float32),
+        jax.ShapeDtypeStruct((L, 1, s), jnp.float32),
+    ]
+    if has_cond:
+        out_specs += [_row((t_dim, cc)), _whole((L, cc, two_g))]
+        out_shape += [
+            jax.ShapeDtypeStruct((bsz, t_dim, cc), jnp.float32),
+            jax.ShapeDtypeStruct((L, cc, two_g), jnp.float32),
+        ]
+
+    scratch = [
+        pltpu.VMEM((t_dim, c), jnp.float32),            # x_s
+        pltpu.VMEM((t_dim, c), jnp.float32),            # dx_s
+        pltpu.VMEM((t_dim + max_d, two_g), jnp.float32),  # stage_s
+        pltpu.VMEM((t_dim + max_d, c), jnp.float32),    # stage2_s
+        pltpu.VMEM((L * c, two_g), jnp.float32),        # dwc
+        pltpu.VMEM((L * c, two_g), jnp.float32),        # dwp
+        pltpu.VMEM((L, two_g), jnp.float32),            # db
+        pltpu.VMEM((L * gch, c), jnp.float32),          # dwr
+        pltpu.VMEM((L, c), jnp.float32),                # dbr
+        pltpu.VMEM((L * gch, s), jnp.float32),          # dws
+        pltpu.VMEM((L, s), jnp.float32),                # dbs
+    ]
+    if has_cond:
+        scratch += [
+            pltpu.VMEM((L * cc, two_g), jnp.float32),   # dwcond
+            pltpu.VMEM((t_dim, cc), jnp.float32),       # dcond
+        ]
+        kernel = functools.partial(
+            _bwd_kernel, compute_dtype=dt, n_layers=L, max_d=max_d
+        )
+    else:
+        def kernel(dils_r, gs, xf, zr, wc, wp, bb, wr, br, wcT, wpT, wrT, wsT,
+                   dh0, dwc, dwp, db, dwr, dbr, dws, dbs,
+                   x_s, dx_s, st1, st2,
+                   dwc_s, dwp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s):
+            return _bwd_kernel(
+                dils_r, gs, xf, zr, wc, wp, bb, wr, br, wcT, wpT, wrT, wsT,
+                None, None, None,
+                dh0, dwc, dwp, db, dwr, dbr, dws, dbs, None, None,
+                x_s, dx_s, st1, st2,
+                dwc_s, dwp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s, None, None,
+                compute_dtype=dt, n_layers=L, max_d=max_d,
+            )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, L),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(dils, *args)
+    return outs
+
+
+def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False):
+    """Build the custom-VJP fused stack for `arch`.
+
+    Returns fn(lp_subset, h0, cond) -> skip_sum where lp_subset is the
+    layers dict (w_cur, w_prev, b, w_res, b_res, w_skip, b_skip[, w_cond])
+    and cond is the upsampled (B, T, Cc) conditioning (or a dummy zeros
+    array when has_cond=False; it gets a zero gradient).
+    """
+
+    @jax.custom_vjp
+    def fused(lp, h0, cond):
+        _, skip = _fwd_call(lp, arch, h0, cond if has_cond else None, interpret)
+        return skip
+
+    def fwd(lp, h0, cond):
+        z_all, skip = _fwd_call(
+            lp, arch, h0, cond if has_cond else None, interpret
+        )
+        # Reconstruct x_final in XLA (cheap: L small matmuls batched as one
+        # einsum) — saves the kernel an extra output.
+        dtc = jnp.dtype(arch.compute_dtype)
+        x_final = h0 + jnp.einsum(
+            "bltg,lgc->btc",
+            z_all.astype(dtc),
+            lp["w_res"].astype(dtc),
+            preferred_element_type=jnp.float32,
+        ) + jnp.sum(lp["b_res"], axis=0)
+        return skip, (lp, h0, cond, z_all, x_final)
+
+    def bwd(res, g_skip):
+        lp, h0, cond, z_all, x_final = res
+        outs = _bwd_call(
+            lp, arch, h0, cond if has_cond else None, z_all, x_final,
+            g_skip, interpret,
+        )
+        if has_cond:
+            (dh0, dwc, dwp, db, dwr, dbr, dws, dbs, dcond, dwcond) = outs
+        else:
+            (dh0, dwc, dwp, db, dwr, dbr, dws, dbs) = outs
+            dcond = jnp.zeros_like(cond)
+        dlp = dict(
+            w_cur=dwc,
+            w_prev=dwp,
+            b=db[:, 0, :],
+            w_res=dwr,
+            b_res=dbr[:, 0, :],
+            w_skip=dws,
+            b_skip=dbs[:, 0, :],
+        )
+        if has_cond:
+            dlp["w_cond"] = dwcond
+        # Gradients for any extra keys in lp (e.g. w_gcond folded upstream).
+        for k in lp:
+            if k not in dlp:
+                dlp[k] = jnp.zeros_like(lp[k])
+        return dlp, dh0, dcond
+
+    fused.defvjp(fwd, bwd)
+    return fused

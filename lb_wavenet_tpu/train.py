@@ -50,16 +50,69 @@ def init_state(rng, arch: ArchConfig, train: TrainConfig) -> TrainState:
 
 
 def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
-            remat: bool = False):
-    logits = forward(
-        params,
-        arch,
-        batch["inputs"],
-        cond_frames=batch.get("mel"),
-        speaker_ids=batch.get("speaker"),
-        remat=remat,
-    )
+            remat: bool = False, fused_stack: bool = False):
+    if fused_stack:
+        logits = forward_fused(
+            params,
+            arch,
+            batch["inputs"],
+            cond_frames=batch.get("mel"),
+            speaker_ids=batch.get("speaker"),
+        )
+    else:
+        logits = forward(
+            params,
+            arch,
+            batch["inputs"],
+            cond_frames=batch.get("mel"),
+            speaker_ids=batch.get("speaker"),
+            remat=remat,
+        )
     return masked_loss(logits, batch["targets"], batch["mask"], window_size)
+
+
+def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
+                  speaker_ids=None):
+    """forward() with the dilated stack replaced by the fused Pallas
+    training kernel (ops/pallas/train_stack.py). Same logits (parity-tested),
+    ~3x less activation HBM traffic."""
+    import jax.numpy as jnp
+
+    from .models.conditioning import upsample_cond
+    from .models.wavenet import input_frontend, post_network
+    from .ops.pallas.train_stack import make_fused_stack
+
+    dtype = jnp.dtype(arch.compute_dtype)
+    lp = dict(params["layers"])
+    cond = None
+    if cond_frames is not None:
+        cond = upsample_cond(params["upsampler"], arch, cond_frames, dtype)
+        cond = cond[:, : x_classes.shape[1]].astype(jnp.float32)
+    if speaker_ids is not None:
+        gcond = params["speaker_embed"][speaker_ids][:, None, :]
+        gts = jnp.broadcast_to(
+            gcond, (x_classes.shape[0], x_classes.shape[1], gcond.shape[-1])
+        ).astype(jnp.float32)
+        if cond is not None:
+            cond = jnp.concatenate([cond, gts], axis=-1)
+            lp["w_cond"] = jnp.concatenate(
+                [params["layers"]["w_cond"], params["layers"]["w_gcond"]],
+                axis=1,
+            )
+        else:
+            cond = gts
+            lp["w_cond"] = params["layers"]["w_gcond"]
+    has_cond = cond is not None
+    if not has_cond:
+        cond = jnp.zeros(
+            (x_classes.shape[0], x_classes.shape[1], 1), jnp.float32
+        )
+    h0 = input_frontend(params, arch, x_classes, dtype)
+    fused = make_fused_stack(
+        arch, has_cond=has_cond, interpret=jax.default_backend() == "cpu"
+    )
+    skip_sum = fused(lp, h0, cond)
+    return post_network(params, skip_sum, dtype)
 
 
 @functools.partial(
@@ -69,7 +122,8 @@ def train_step(
     state: TrainState, batch: dict, arch: ArchConfig, train: TrainConfig
 ):
     loss, grads = jax.value_and_grad(loss_fn)(
-        state.params, arch, train.window_size, batch, train.remat
+        state.params, arch, train.window_size, batch, train.remat,
+        train.fused_stack,
     )
     updates, opt_state = make_optimizer(train).update(
         grads, state.opt_state, state.params

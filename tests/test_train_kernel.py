@@ -1,0 +1,159 @@
+"""Kernel-parity tier: fused training-stack kernel (fwd + custom-VJP bwd)
+== XLA reference path, values AND gradients, in interpret mode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lb_wavenet_tpu.config import ArchConfig
+from lb_wavenet_tpu.models.wavenet import (
+    forward,
+    gated_unit,
+    init_params,
+    input_frontend,
+    shift_right,
+)
+from lb_wavenet_tpu.ops.pallas.train_stack import make_fused_stack
+
+from .util import MICRO
+
+B, T = 2, 48
+
+
+def _xla_stack(lp, arch, h0, cond=None):
+    """Reference: the layer loop + stacked-skip einsum from forward()."""
+    dtype = jnp.dtype(arch.compute_dtype)
+    h = h0
+    zs = []
+    for i, d in enumerate(arch.dilations):
+        h, z = gated_unit(h, shift_right(h, d), lp, i, dtype, cond=cond)
+        zs.append(z)
+    z_all = jnp.stack(zs, axis=0)
+    return jax.lax.dot_general(
+        z_all.astype(dtype),
+        lp["w_skip"].astype(dtype),
+        (((0, 3), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jnp.sum(lp["b_skip"], axis=0)
+
+
+def _setup(arch, with_cond=False, seed=0):
+    params = init_params(jax.random.key(seed), arch)
+    lp = dict(params["layers"])
+    h0 = jax.random.normal(
+        jax.random.key(seed + 1), (B, T, arch.residual_channels)
+    )
+    cond = (
+        jax.random.normal(jax.random.key(seed + 2), (B, T, arch.cond_channels))
+        if with_cond
+        else None
+    )
+    return lp, h0, cond
+
+
+def test_fused_stack_forward_matches_xla():
+    lp, h0, _ = _setup(MICRO)
+    fused = make_fused_stack(MICRO, has_cond=False, interpret=True)
+    dummy = jnp.zeros((B, T, 1))
+    got = fused(lp, h0, dummy)
+    want = _xla_stack(lp, MICRO, h0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_stack_grads_match_xla():
+    lp, h0, _ = _setup(MICRO, seed=3)
+    fused = make_fused_stack(MICRO, has_cond=False, interpret=True)
+    dummy = jnp.zeros((B, T, 1))
+    g = jax.random.normal(jax.random.key(9), (B, T, MICRO.skip_channels))
+
+    def loss_fused(lp, h0):
+        return jnp.sum(fused(lp, h0, dummy) * g)
+
+    def loss_xla(lp, h0):
+        return jnp.sum(_xla_stack(lp, MICRO, h0) * g)
+
+    (dlp_f, dh0_f) = jax.grad(loss_fused, argnums=(0, 1))(lp, h0)
+    (dlp_x, dh0_x) = jax.grad(loss_xla, argnums=(0, 1))(lp, h0)
+    np.testing.assert_allclose(
+        np.asarray(dh0_f), np.asarray(dh0_x), rtol=2e-4, atol=2e-4
+    )
+    for k in dlp_x:
+        np.testing.assert_allclose(
+            np.asarray(dlp_f[k]),
+            np.asarray(dlp_x[k]),
+            rtol=2e-4,
+            atol=2e-4,
+            err_msg=f"grad mismatch for layers.{k}",
+        )
+
+
+def test_fused_stack_conditioned_grads():
+    arch = ArchConfig(
+        n_blocks=1,
+        n_layers_per_block=3,
+        residual_channels=8,
+        skip_channels=8,
+        gate_channels=8,
+        n_mels=8,
+        cond_channels=8,
+        upsample_factors=(4,),
+        compute_dtype="float32",
+    )
+    lp, h0, cond = _setup(arch, with_cond=True, seed=5)
+    fused = make_fused_stack(arch, has_cond=True, interpret=True)
+    g = jax.random.normal(jax.random.key(11), (B, T, arch.skip_channels))
+
+    def loss_fused(lp, h0, cond):
+        return jnp.sum(fused(lp, h0, cond) * g)
+
+    def loss_xla(lp, h0, cond):
+        return jnp.sum(_xla_stack(lp, arch, h0, cond) * g)
+
+    out_f = fused(lp, h0, cond)
+    out_x = _xla_stack(lp, arch, h0, cond)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_x), rtol=2e-5, atol=2e-5
+    )
+    grads_f = jax.grad(loss_fused, argnums=(0, 1, 2))(lp, h0, cond)
+    grads_x = jax.grad(loss_xla, argnums=(0, 1, 2))(lp, h0, cond)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_f),
+                    jax.tree_util.tree_leaves(grads_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fused_train_step_matches_xla_train_step():
+    """Full train_step with fused_stack=True tracks the XLA step: identical
+    batches, near-identical loss and updated params."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from lb_wavenet_tpu.train import init_state, train_step
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    rngs = np.random.default_rng(0)
+    r = MICRO.receptive_field
+    w = 32
+    raw = {
+        "inputs": rngs.integers(0, 256, (2, r - 1 + w)).astype(np.int32),
+        "targets": rngs.integers(0, 256, (2, w)).astype(np.int32),
+        "mask": np.ones((2, w), np.float32),
+    }
+    losses, states = [], []
+    for fused in (False, True):
+        train = TrainConfig(batch_size=2, window_size=w, learning_rate=1e-3,
+                            fused_stack=fused)
+        state = shard_params(init_state(jax.random.key(0), MICRO, train), mesh)
+        state, loss = train_step(state, shard_batch(raw, mesh), MICRO, train)
+        losses.append(float(loss))
+        states.append(state)
+    assert np.allclose(losses[0], losses[1], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        ),
+        states[0].params,
+        states[1].params,
+    )
