@@ -81,18 +81,24 @@ def main() -> int:
         # second timed runs.
         return np.asarray(out)
 
-    # Warmup / compile (separate trace for the timed length).
+    # Warmup / compile both lengths (persistent cache makes reruns cheap).
     t0 = time.perf_counter()
     run(n_samples)
+    run(2 * n_samples)
     compile_s = time.perf_counter() - t0
 
-    # Best of 3: the relay adds cross-run jitter; in-process reps are stable.
-    elapsed = float("inf")
+    # Difference T vs 2T cancels constant per-call overhead (host fetch over
+    # this image's relay, dispatch); best-of-3 guards against relay jitter.
+    t_short = t_long = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out = run(n_samples)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        t_short = min(t_short, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out2 = run(2 * n_samples)
+        t_long = min(t_long, time.perf_counter() - t0)
     assert out.shape == (batch, n_samples)
+    elapsed = max(t_long - t_short, 1e-6)  # time for n_samples of pure loop
 
     audio_sec = batch * n_samples / arch.sample_rate
     value = audio_sec / elapsed
@@ -109,7 +115,7 @@ def main() -> int:
                     "n_samples": n_samples,
                     "sample_rate": arch.sample_rate,
                     "steps_per_sec": round(n_samples / elapsed, 1),
-                    "compile_s": round(compile_s - elapsed, 1),
+                    "compile_s": round(compile_s, 1), "t_short_s": round(t_short, 3), "t_long_s": round(t_long, 3),
                     "engine": engine,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
