@@ -52,7 +52,9 @@ def main() -> int:
             skip_channels=256,
             gate_channels=64,
         )
-        batch = int(os.environ.get("BENCH_BATCH", "256"))
+        # B=512 is the measured throughput optimum for the mega engine on
+        # v5e (428 vs ~330 @ B=256; past 512 it degrades — docs/kernels.md).
+        batch = int(os.environ.get("BENCH_BATCH", "512"))
     n_samples = int(os.environ.get("BENCH_SAMPLES", "8192"))
     # Engine: mega (whole loop in one Pallas kernel) is the production
     # default; it requires batch % 128 == 0, else fall back to turbo.
