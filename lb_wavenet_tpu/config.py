@@ -88,6 +88,7 @@ class TrainConfig:
     data_dir: str = ""
     checkpoint_dir: str = "/tmp/wavenet_ckpt"
     metrics_path: str = ""            # JSONL metrics stream ("" → stdout only)
+    tensorboard_dir: str = ""         # optional TB event stream ("" → off)
     mesh_data: int = -1               # -1: all devices on the data axis
     mesh_model: int = 1
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)

@@ -175,7 +175,11 @@ def run_training(
             with_mel=arch.use_local_cond,
         )
     )
-    metrics = MetricsLogger(train.metrics_path, enabled=host_id == 0)
+    metrics = MetricsLogger(
+        train.metrics_path,
+        enabled=host_id == 0,
+        tensorboard_dir=train.tensorboard_dir,
+    )
     total = n_steps if n_steps is not None else train.n_steps
 
     t_last = time.perf_counter()

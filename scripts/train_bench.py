@@ -1,0 +1,81 @@
+"""Training-step throughput on the real chip (BASELINE.md "training
+throughput" metric; SURVEY.md §6).
+
+One process per invocation (cross-process numbers vary with relay load);
+prints one JSON line per timed config.
+
+Env: TB_FUSED=0|1, TB_BATCH, TB_WINDOW, TB_STEPS (timed steps, default 20).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import numpy as np
+
+    from lb_wavenet_tpu.config import ArchConfig, TrainConfig
+    from lb_wavenet_tpu.train import init_state, train_step
+
+    fused = os.environ.get("TB_FUSED", "0") == "1"
+    batch = int(os.environ.get("TB_BATCH", "8"))
+    window = int(os.environ.get("TB_WINDOW", "4096"))
+    n_steps = int(os.environ.get("TB_STEPS", "20"))
+
+    arch = ArchConfig(
+        n_blocks=3, n_layers_per_block=10, residual_channels=64,
+        skip_channels=256, gate_channels=64,
+    )
+    train = TrainConfig(
+        batch_size=batch, window_size=window, fused_stack=fused,
+    )
+    rng = jax.random.key(0)
+    state = init_state(rng, arch, train)
+
+    r = arch.receptive_field
+    x = jax.random.randint(
+        jax.random.key(1), (batch, r - 1 + window), 0, arch.quant_channels
+    ).astype(np.int32)
+    tgt = jax.random.randint(
+        jax.random.key(2), (batch, window), 0, arch.quant_channels
+    ).astype(np.int32)
+    mask = jax.numpy.ones((batch, window), np.float32)
+    batch_d = {"inputs": x, "targets": tgt, "mask": mask}
+
+    t0 = time.perf_counter()
+    state, loss = train_step(state, batch_d, arch, train)
+    np.asarray(loss)  # sync (block_until_ready unreliable on axon)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = train_step(state, batch_d, arch, train)
+    loss = float(np.asarray(loss))
+    elapsed = time.perf_counter() - t0
+    step_ms = elapsed / n_steps * 1e3
+    sps = batch * window / (elapsed / n_steps)
+    print(json.dumps({
+        "metric": "train_throughput",
+        "value": round(sps, 1),
+        "unit": "samples/sec/chip",
+        "detail": {
+            "fused_stack": fused, "batch": batch, "window": window,
+            "step_ms": round(step_ms, 2), "compile_s": round(compile_s, 1),
+            "loss": round(loss, 4), "n_steps": n_steps,
+            "backend": jax.default_backend(),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

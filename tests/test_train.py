@@ -121,3 +121,19 @@ def test_checkpoint_restores_onto_different_mesh(tmp_path):
     )
     restored, loss = train_step(restored, batch, cfg.arch, cfg.train)
     assert _np.isfinite(float(loss))
+
+
+def test_metrics_tensorboard_writer(tmp_path):
+    """SURVEY.md §5: optional TensorBoard event stream mirrors JSONL scalars."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from lb_wavenet_tpu.utils.metrics import MetricsLogger
+
+    tb_dir = str(tmp_path / "tb")
+    m = MetricsLogger(tensorboard_dir=tb_dir)
+    m.log(step=3, loss=1.25, samples_per_sec=1000.0, note="text-skipped")
+    m.close()
+    import glob
+
+    events = glob.glob(tb_dir + "/events.out.tfevents.*")
+    assert events, "no TensorBoard event file written"
+    assert os.path.getsize(events[0]) > 0
