@@ -44,6 +44,19 @@ def main() -> int:
             sample_rate=24000,
         )
         batch = int(os.environ.get("BENCH_BATCH", "256"))
+    elif preset == "mel":
+        # BASELINE config 3: mel-conditioned vocoder (flagship).
+        arch = ArchConfig(
+            n_blocks=3,
+            n_layers_per_block=10,
+            residual_channels=64,
+            skip_channels=256,
+            gate_channels=64,
+            n_mels=80,
+            cond_channels=64,
+            upsample_factors=(4, 8, 8),
+        )
+        batch = int(os.environ.get("BENCH_BATCH", "512"))
     else:
         arch = ArchConfig(
             n_blocks=3,
@@ -67,6 +80,19 @@ def main() -> int:
 
     import numpy as np
 
+    cond_full = None
+    if preset == "mel":
+        from lb_wavenet_tpu.models.conditioning import upsample_cond
+
+        frames = jax.random.normal(
+            jax.random.key(3),
+            (batch, 2 * n_samples // arch.hop_size + 1, arch.n_mels),
+        )
+        cond_full = upsample_cond(
+            params["upsampler"], arch, frames,
+            jax.numpy.dtype(arch.compute_dtype),
+        )
+
     def run(n):
         out = generate_classes(
             params,
@@ -74,6 +100,7 @@ def main() -> int:
             jax.random.key(1),
             batch,
             n,
+            cond=cond_full,
             temperature=1.0,
             engine=engine,
         )

@@ -91,6 +91,7 @@ class TrainConfig:
     tensorboard_dir: str = ""         # optional TB event stream ("" → off)
     mesh_data: int = -1               # -1: all devices on the data axis
     mesh_model: int = 1
+    lane_continuous: bool = False     # reference-style virtual-batch lanes
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
     fused_stack: bool = False         # fused Pallas training-stack kernel
 

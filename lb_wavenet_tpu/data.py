@@ -158,6 +158,33 @@ class Corpus:
         return out
 
 
+def lane_schedule(corpus: Corpus, train: TrainConfig) -> list:
+    """Per-lane window sequences for lane-continuous ("virtual batch") mode.
+
+    The reference keeps each batch lane walking ONE file's windows in order,
+    moving to the next file when it is exhausted (SURVEY.md §2.1 [M]); lane
+    k's sequence here is all (file, window) pairs, files in a per-lane seeded
+    permutation, windows in order within each file — so consecutive steps of
+    a lane are consecutive spans of audio. Deterministic in (seed, lane);
+    the cursor at step s is simply s mod len(sequence) (exact resume).
+    """
+    seqs = []
+    for k in range(train.batch_size):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([train.seed, 7, k])
+        )
+        file_order = rng.permutation(len(corpus.encoded))
+        seq = [
+            (int(fi), wi)
+            for fi in file_order
+            for wi in range(
+                geometry.num_windows(len(corpus.encoded[fi]), corpus.window_size)
+            )
+        ]
+        seqs.append(seq)
+    return seqs
+
+
 def make_batches(
     corpus: Corpus,
     train: TrainConfig,
@@ -168,8 +195,11 @@ def make_batches(
 ) -> Iterator[Batch]:
     """Infinite deterministic batch stream; host takes rows host_id::host_count.
 
-    The epoch permutation depends only on (seed, epoch), and batch b of the
-    run is the same global set of windows for any host topology. `start_step`
+    Default mode: each epoch is a seeded permutation of all windows (i.i.d.
+    sampling without replacement). With train.lane_continuous, each lane
+    walks files sequentially instead (the reference's virtual-batch
+    continuity; see lane_schedule). In both modes batch b of the run is the
+    same global set of windows for any host topology, and `start_step`
     supports exact resume (the dataset cursor is just the step count).
     """
     if train.batch_size % host_count:
@@ -179,29 +209,41 @@ def make_batches(
     arch = corpus.arch
     in_len = corpus.r_field - 1 + corpus.window_size
     n_frames = -(-in_len // arch.hop_size) if with_mel else 0
+    lanes = (
+        lane_schedule(corpus, train)
+        if getattr(train, "lane_continuous", False)
+        else None
+    )
 
     step = start_step
     while True:
-        epoch = (step * train.batch_size) // n
-        rng = np.random.default_rng(np.random.SeedSequence([train.seed, epoch]))
-        perm = rng.permutation(n)
-        offset = (step * train.batch_size) % n
-        picks = [perm[(offset + k) % n] for k in range(train.batch_size)]
-        rows = picks[host_id::host_count]
-        assert len(rows) == per_host
-        inputs = np.stack([corpus.example(*corpus.index[r])[0] for r in rows])
-        targets = np.stack([corpus.example(*corpus.index[r])[1] for r in rows])
-        mask = np.stack([corpus.example(*corpus.index[r])[2] for r in rows])
+        if lanes is not None:
+            pairs = [
+                lanes[k][step % len(lanes[k])]
+                for k in range(train.batch_size)
+            ][host_id::host_count]
+        else:
+            epoch = (step * train.batch_size) // n
+            rng = np.random.default_rng(
+                np.random.SeedSequence([train.seed, epoch])
+            )
+            perm = rng.permutation(n)
+            offset = (step * train.batch_size) % n
+            picks = [perm[(offset + k) % n] for k in range(train.batch_size)]
+            pairs = [corpus.index[r] for r in picks[host_id::host_count]]
+        assert len(pairs) == per_host
+        inputs = np.stack([corpus.example(*p)[0] for p in pairs])
+        targets = np.stack([corpus.example(*p)[1] for p in pairs])
+        mask = np.stack([corpus.example(*p)[2] for p in pairs])
         mel = None
         if with_mel:
             mel = np.stack(
-                [corpus.mel_for_window(*corpus.index[r], n_frames) for r in rows]
+                [corpus.mel_for_window(*p, n_frames) for p in pairs]
             )
         speaker = None
         if corpus.speakers is not None:
             speaker = np.asarray(
-                [corpus.speakers[corpus.index[r][0]] for r in rows],
-                dtype=np.int32,
+                [corpus.speakers[p[0]] for p in pairs], dtype=np.int32
             )
         yield Batch(inputs, targets, mask, mel, speaker)
         step += 1

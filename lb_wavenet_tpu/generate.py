@@ -343,7 +343,38 @@ def _generate_classes_fused(
     seed_base = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max - n_samples)
 
     if engine == "mega":
+        import os as _os
+
         from .ops.pallas.ar_mega import mega_generate
+
+        # The kernel's manual ring-buffer DMA needs batch % 128 == 0 on real
+        # TPUs; pad extra lanes (teacher-forced to class 0 — deterministic,
+        # discarded below) so ANY batch size works. Interpret mode has no
+        # lane restriction; WAVENET_MEGA_PAD_TEST exercises the padding
+        # logic on CPU.
+        pad_multiple = (
+            128 if not interpret
+            else int(_os.environ.get("WAVENET_MEGA_PAD_TEST", "1"))
+        )
+        pad = (-b) % pad_multiple
+        if pad:
+            forced_ts = jnp.concatenate(
+                [forced_ts, jnp.zeros((n_samples, pad), jnp.int32)], axis=1
+            )
+            if cond_ts is not None:
+                cond_ts = jnp.concatenate(
+                    [cond_ts, jnp.zeros(
+                        (n_samples, pad, cond_ts.shape[-1]), cond_ts.dtype
+                    )], axis=1
+                )
+            # h0/e0 rows are identical across lanes (built from the zero
+            # class) — replicate the first row.
+            h0 = jnp.concatenate(
+                [h0, jnp.broadcast_to(h0[:1], (pad,) + h0.shape[1:])], axis=0
+            )
+            e0 = jnp.concatenate(
+                [e0, jnp.broadcast_to(e0[:1], (pad,) + e0.shape[1:])], axis=0
+            )
 
         out = mega_generate(
             params,
@@ -363,10 +394,10 @@ def _generate_classes_fused(
         if return_logits:
             classes, logits = out
             return (
-                jnp.swapaxes(classes[:, 0, :], 0, 1),          # (B, T)
-                jnp.transpose(logits, (2, 0, 1)),              # (B, T, Q)
+                jnp.swapaxes(classes[:, 0, :], 0, 1)[:b],      # (B, T)
+                jnp.transpose(logits, (2, 0, 1))[:b],          # (B, T, Q)
             )
-        return jnp.swapaxes(out[:, 0, :], 0, 1)  # (T, B) -> (B, T)
+        return jnp.swapaxes(out[:, 0, :], 0, 1)[:b]  # (T, B) -> (B, T)
 
     def body(carry, inp):
         bufs, e_cur, h0 = carry

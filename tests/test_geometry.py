@@ -68,3 +68,42 @@ def test_extract_window_boundary_masks():
     assert mask.sum() == 29
     assert (mask[29:] == 0).all()
     np.testing.assert_array_equal(targets[:29], encoded[101:130])
+
+
+def test_lane_continuous_batches():
+    """Reference-style virtual-batch lanes: each lane walks one file's
+    windows in order, moving to the next file when exhausted; host-sharded
+    union == single-host batch; deterministic resume from a step cursor."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.data import lane_schedule, make_batches, synthetic_corpus
+
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8, compute_dtype="float32",
+    )
+    train = TrainConfig(batch_size=4, window_size=100, lane_continuous=True)
+    corpus = synthetic_corpus(arch, 100, n_files=3, file_len=1000)
+
+    seqs = lane_schedule(corpus, train)
+    assert len(seqs) == 4
+    for seq in seqs:
+        assert sorted(seq) == sorted(corpus.index)  # full coverage per lane
+        for (f0, w0), (f1, w1) in zip(seq, seq[1:]):
+            # Within a file, windows advance sequentially (continuity).
+            assert (f1 == f0 and w1 == w0 + 1) or (f1 != f0 and w1 == 0)
+
+    # Batch content matches the schedule, including mid-stream start.
+    it = make_batches(corpus, train, start_step=5)
+    b5 = next(it)
+    for k in range(4):
+        fi, wi = seqs[k][5 % len(seqs[k])]
+        exp_inputs, exp_targets, _ = corpus.example(fi, wi)
+        np.testing.assert_array_equal(b5.inputs[k], exp_inputs)
+        np.testing.assert_array_equal(b5.targets[k], exp_targets)
+
+    # Strided host sharding: host0 gets lanes 0,2; host1 gets lanes 1,3.
+    h0 = next(make_batches(corpus, train, host_id=0, host_count=2))
+    h1 = next(make_batches(corpus, train, host_id=1, host_count=2))
+    full = next(make_batches(corpus, train))
+    np.testing.assert_array_equal(h0.inputs, full.inputs[0::2])
+    np.testing.assert_array_equal(h1.inputs, full.inputs[1::2])

@@ -204,3 +204,29 @@ def test_mega_teacher_forced_logits_match_xla():
     np.testing.assert_allclose(
         np.asarray(mega_logits), np.asarray(ref_logits), rtol=2e-5, atol=2e-5
     )
+
+
+def test_mega_engine_pads_odd_batch(monkeypatch):
+    """mega pads the batch to the kernel's lane multiple and slices back;
+    greedy output for the real lanes matches the XLA engine."""
+    monkeypatch.setenv("WAVENET_MEGA_PAD_TEST", "4")
+    params = init_params(jax.random.key(0), MICRO)
+    rng = jax.random.key(5)
+    b_odd = 3
+    forced = jnp.concatenate(
+        [
+            jax.random.randint(jax.random.key(6), (b_odd, 8), 0, 256),
+            jnp.full((b_odd, T - 8), -1, jnp.int32),
+        ],
+        axis=1,
+    )
+    ref = generate_classes(
+        params, MICRO, rng, b_odd, T, forced=forced, temperature=0.0,
+        engine="xla",
+    )
+    mega = generate_classes(
+        params, MICRO, rng, b_odd, T, forced=forced, temperature=0.0,
+        engine="mega",
+    )
+    assert mega.shape == (b_odd, T)
+    np.testing.assert_array_equal(np.asarray(mega), np.asarray(ref))
