@@ -73,7 +73,12 @@ def _gumbel_bits(q, bsz, seed_scalar, use_hw_prng):
 
 
 def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
-                      use_hw_prng: bool, buf_dtype, emit_logits: bool = False):
+                      use_hw_prng: bool, buf_dtype, emit_logits: bool = False,
+                      vmem_dmax: int = 1):
+    """vmem_dmax: layers with 1 < d <= vmem_dmax keep their ring in a VMEM
+    scratch instead of HBM — their DMA machinery (issue + 2 semaphore waits
+    per step) becomes two cheap VPU copies. d == 1 layers never have a ring
+    at all (the tap is last step's activation)."""
     L = len(arch.dilations)
     dils = arch.dilations
     offsets = []
@@ -81,6 +86,14 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
     for d in dils:
         offsets.append(acc)
         acc += d
+    # Row offsets (in units of C) inside the VMEM ring scratch.
+    voffsets = [None] * L
+    vacc = 0
+    for l, d in enumerate(dils):
+        if 1 < d <= vmem_dmax:
+            voffsets[l] = vacc
+            vacc += d
+    has_vring = vacc > 0
 
     dt = jnp.dtype(arch.compute_dtype)
 
@@ -102,7 +115,11 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
             bufs_ref, cls_ref = refs[idx:idx + 2]
             logits_ref = None
             idx += 2
-        (h_s, e_s, hstate, rsem, wsem) = refs[idx:]
+        if has_vring:
+            (h_s, e_s, hstate, vring, rsem, wsem) = refs[idx:]
+        else:
+            (h_s, e_s, hstate, rsem, wsem) = refs[idx:]
+            vring = None
         # hstate (L*2C, B): per layer a contiguous [current h | dilated tap]
         # pair — rows [l*2C, l*2C+C) stage this step's h (DMA'd back to the
         # ring), rows [l*2C+C, (l+1)*2C) receive the tap DMA. The gated
@@ -115,6 +132,8 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
             h_s[:] = h0_ref[:]
             e_s[:] = e0_ref[:]
             hstate[:] = jnp.zeros_like(hstate)
+            if vring is not None:
+                vring[:] = jnp.zeros_like(vring)
 
         def mm(w, a):
             # (M, K) @ (K, B) -> (M, B), fp32 accumulation on the MXU.
@@ -129,7 +148,7 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         c_dim = h_s.shape[0]
         slots = [None] * L
         for l in range(L):
-            if dils[l] > 1:
+            if dils[l] > 1 and voffsets[l] is None:
                 slot = (offsets[l] + jax.lax.rem(t, jnp.int32(dils[l]))) * c_dim
                 slots[l] = slot
                 pltpu.make_async_copy(
@@ -143,7 +162,16 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         h = h_s[:]
         for l in range(L):
             row0 = l * 2 * c_dim
-            if dils[l] > 1:
+            if dils[l] > 1 and voffsets[l] is not None:
+                # VMEM-resident ring: read the tap, then overwrite the slot
+                # with this step's h — two VPU copies, no DMA/semaphores.
+                vslot = (
+                    voffsets[l] + jax.lax.rem(t, jnp.int32(dils[l]))
+                ) * c_dim
+                hstate[pl.ds(row0 + c_dim, c_dim)] = vring[pl.ds(vslot, c_dim)]
+                vring[pl.ds(vslot, c_dim)] = h.astype(buf_dtype)
+                hstate[pl.ds(row0, c_dim)] = h.astype(buf_dtype)
+            elif dils[l] > 1:
                 # Order: tap read done -> prior write-back done -> stage h ->
                 # start write-back -> compute on the contiguous pair.
                 pltpu.make_async_copy(
@@ -186,7 +214,7 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         @pl.when(t == pl.num_programs(0) - 1)
         def _drain():
             for l in range(L):
-                if dils[l] > 1:
+                if dils[l] > 1 and voffsets[l] is None:
                     pltpu.make_async_copy(
                         hstate.at[pl.ds(l * 2 * c_dim, c_dim)],
                         bufs_ref.at[pl.ds(slots[l], c_dim)],
@@ -326,9 +354,22 @@ def mega_generate(
         ]
         args += [tr(cond_ts), wcast(tr(lp["w_cond"]))]
 
+    # Layers with 1 < d <= vmem_dmax keep their rings in VMEM scratch (no
+    # DMA). Measured NEUTRAL on v5e at wavenet30/B=512 (7-run A/B, means
+    # 367 vs 368 a-s/s — the ring DMAs are already fully hidden behind the
+    # layer compute), so the proven HBM-DMA path stays the default;
+    # WAVENET_MEGA_VMEM_D enables it for experiments (read at trace time).
+    import os as _os
+
+    vmem_dmax = int(_os.environ.get("WAVENET_MEGA_VMEM_D", "1"))
+    vrows = sum(d for d in arch.dilations if 1 < d <= vmem_dmax)
+
     kernel = _make_mega_kernel(
         arch, temperature, has_cond, use_hw_prng=not interpret,
-        buf_dtype=buf_dtype, emit_logits=emit_logits,
+        buf_dtype=buf_dtype, emit_logits=emit_logits, vmem_dmax=vmem_dmax,
+    )
+    vring_scratch = (
+        [pltpu.VMEM((vrows * c, b), buf_dtype)] if vrows > 0 else []
     )
 
     out = pl.pallas_call(
@@ -347,6 +388,7 @@ def mega_generate(
                 pltpu.VMEM((c, b), jnp.float32),        # h_s
                 pltpu.VMEM((c, b), jnp.float32),        # e_s
                 pltpu.VMEM((L * 2 * c, b), buf_dtype),  # hstate [h | tap] pairs
+            ] + vring_scratch + [
                 pltpu.SemaphoreType.DMA((L,)),          # read sems
                 pltpu.SemaphoreType.DMA((L,)),          # write sems
             ],

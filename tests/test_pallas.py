@@ -230,3 +230,28 @@ def test_mega_engine_pads_odd_batch(monkeypatch):
     )
     assert mega.shape == (b_odd, T)
     np.testing.assert_array_equal(np.asarray(mega), np.asarray(ref))
+
+
+def test_mega_engine_vmem_rings(monkeypatch):
+    """WAVENET_MEGA_VMEM_D: small-dilation rings resident in VMEM scratch
+    (no DMA) — must match the XLA engine exactly like the default path."""
+    monkeypatch.setenv("WAVENET_MEGA_VMEM_D", "4")
+    # Unique (batch, n_samples) so the env knob (read at trace time) cannot
+    # be masked by a cached trace from the default-path tests above.
+    t2 = T + 1
+    params = init_params(jax.random.key(0), MICRO)
+    rng = jax.random.key(5)
+    forced = jnp.concatenate(
+        [
+            jax.random.randint(jax.random.key(6), (B, 8), 0, 256),
+            jnp.full((B, t2 - 8), -1, jnp.int32),
+        ],
+        axis=1,
+    )
+    ref = generate_classes(
+        params, MICRO, rng, B, t2, forced=forced, temperature=0.0, engine="xla"
+    )
+    mega = generate_classes(
+        params, MICRO, rng, B, t2, forced=forced, temperature=0.0, engine="mega"
+    )
+    np.testing.assert_array_equal(np.asarray(mega), np.asarray(ref))
