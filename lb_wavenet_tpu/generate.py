@@ -216,7 +216,49 @@ def generate_classes(
         )
 
     state = init_ring_state(arch, b, rng)
+    _, out = _run_scan_engine(
+        params, arch, state, jnp.int32(0), n_samples, cond, forced, gcond,
+        temperature, return_logits, engine,
+    )
+    if return_logits:
+        classes, logits = out
+        return jnp.swapaxes(classes, 0, 1), jnp.swapaxes(logits, 0, 1)
+    return jnp.swapaxes(out, 0, 1)
 
+
+def _resolve_step_fn(engine: str):
+    if engine == "pallas":
+        from .ops.pallas.ar_step import pallas_stack_step
+
+        # Pallas-TPU kernels run in interpreter mode on CPU (tests).
+        return functools.partial(
+            pallas_stack_step, interpret=jax.default_backend() == "cpu"
+        )
+    if engine == "xla":
+        return stack_step
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def _run_scan_engine(
+    params,
+    arch: ArchConfig,
+    state: RingState,
+    t0: jnp.ndarray,
+    n_samples: int,
+    cond,
+    forced,
+    gcond,
+    temperature: float,
+    return_logits: bool,
+    engine: str,
+):
+    """Scan n_samples steps from `state` at absolute time offset t0.
+
+    Shared by one-shot generation (t0 = 0, fresh state) and streaming
+    chunks (carried state): the ring-slot phase (t mod d) and the RNG chain
+    both continue exactly, so chunked output bit-matches one-shot output.
+    """
+    step_fn = _resolve_step_fn(engine)
     cond_ts = None
     if cond is not None:
         cond_ts = jnp.swapaxes(cond[:, :n_samples], 0, 1)  # (T, B, Cc)
@@ -225,18 +267,6 @@ def generate_classes(
         if forced is not None
         else None
     )
-
-    if engine == "pallas":
-        from .ops.pallas.ar_step import pallas_stack_step
-
-        # Pallas-TPU kernels run in interpreter mode on CPU (tests).
-        step_fn = functools.partial(
-            pallas_stack_step, interpret=jax.default_backend() == "cpu"
-        )
-    elif engine == "xla":
-        step_fn = stack_step
-    else:
-        raise ValueError(f"unknown engine {engine!r}")
 
     def body(state: RingState, inp):
         t, cond_t, forced_t = inp
@@ -251,7 +281,7 @@ def generate_classes(
         out = (cls, logits) if return_logits else cls
         return new_state, out
 
-    ts = jnp.arange(n_samples, dtype=jnp.int32)
+    ts = t0 + jnp.arange(n_samples, dtype=jnp.int32)
     xs = (
         ts,
         cond_ts if cond_ts is not None else ts,  # placeholder xs when no cond
@@ -269,11 +299,7 @@ def generate_classes(
             ),
         )
 
-    _, out = jax.lax.scan(body_wrap, state, xs)
-    if return_logits:
-        classes, logits = out
-        return jnp.swapaxes(classes, 0, 1), jnp.swapaxes(logits, 0, 1)
-    return jnp.swapaxes(out, 0, 1)
+    return jax.lax.scan(body_wrap, state, xs)
 
 
 def _generate_classes_fused(
@@ -430,6 +456,89 @@ def _generate_classes_fused(
 
     _, classes = jax.lax.scan(body_wrap, (bufs, e0, h0), xs)
     return jnp.swapaxes(classes, 0, 1)
+
+
+class Stream(NamedTuple):
+    """Carried state for incremental (chunked) synthesis."""
+
+    state: RingState
+    t: jnp.ndarray  # () int32: absolute sample index of the next step
+
+
+def start_stream(arch: ArchConfig, batch: int, rng: jax.Array) -> Stream:
+    """Open a streaming-synthesis session (see stream_chunk)."""
+    return Stream(init_ring_state(arch, batch, rng), jnp.int32(0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "arch", "chunk_size", "temperature", "engine", "return_logits"
+    ),
+)
+def stream_chunk(
+    params: Params,
+    arch: ArchConfig,
+    stream: Stream,
+    chunk_size: int,
+    cond: Optional[jnp.ndarray] = None,       # (B, chunk, Cc) upsampled
+    speaker_ids: Optional[jnp.ndarray] = None,
+    forced: Optional[jnp.ndarray] = None,     # (B, chunk), -1 = free-running
+    temperature: float = 1.0,
+    engine: str = "xla",
+    return_logits: bool = False,
+):
+    """Emit the next chunk_size samples and the advanced stream.
+
+    Real-time/production serving: the ring-buffer state is O(receptive
+    field) regardless of emitted length, so a session can run forever with
+    one compile per chunk size. The ring-slot phase and RNG chain continue
+    across chunks exactly, so the concatenated chunked output BIT-MATCHES a
+    single generate_classes call of the same total length (tested in
+    tests/test_generate.py). Engines: "xla" | "pallas" (the scan engines —
+    they carry state; the fused turbo/mega engines are one-shot only).
+
+    Returns (classes (B, chunk)[, logits], new_stream).
+    """
+    gcond = None
+    if speaker_ids is not None:
+        gcond = params["speaker_embed"][speaker_ids]
+    new_state, out = _run_scan_engine(
+        params, arch, stream.state, stream.t, chunk_size, cond, forced,
+        gcond, temperature, return_logits, engine,
+    )
+    new_stream = Stream(new_state, stream.t + jnp.int32(chunk_size))
+    if return_logits:
+        classes, logits = out
+        return (
+            jnp.swapaxes(classes, 0, 1),
+            jnp.swapaxes(logits, 0, 1),
+            new_stream,
+        )
+    return jnp.swapaxes(out, 0, 1), new_stream
+
+
+def generate_streaming(
+    params: Params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    batch: int,
+    chunk_size: int,
+    n_chunks: Optional[int] = None,
+    temperature: float = 1.0,
+    engine: str = "xla",
+):
+    """Host-side generator yielding decoded wav chunks (B, chunk_size) in
+    [-1, 1] — unbounded when n_chunks is None."""
+    stream = start_stream(arch, batch, rng)
+    i = 0
+    while n_chunks is None or i < n_chunks:
+        classes, stream = stream_chunk(
+            params, arch, stream, chunk_size,
+            temperature=temperature, engine=engine,
+        )
+        yield mu_law_decode(classes, arch.quant_channels)
+        i += 1
 
 
 def generate(

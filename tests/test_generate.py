@@ -100,3 +100,46 @@ def test_conditioned_generation_shapes():
     )
     assert wav.shape == (B, 32)
     assert bool(jnp.all(jnp.isfinite(wav)))
+
+
+def test_streaming_chunks_bit_match_one_shot():
+    """stream_chunk carries ring state, slot phase and the RNG chain across
+    chunks: concatenated chunks == a single generate_classes call, for both
+    scan engines."""
+    from lb_wavenet_tpu.generate import (
+        generate_classes,
+        start_stream,
+        stream_chunk,
+    )
+
+    params = init_params(jax.random.key(0), MICRO)
+    total, chunk = 24, 6
+    for engine in ("xla", "pallas"):
+        one_shot = generate_classes(
+            params, MICRO, jax.random.key(11), 2, total, engine=engine
+        )
+        stream = start_stream(MICRO, 2, jax.random.key(11))
+        parts = []
+        for _ in range(total // chunk):
+            cls, stream = stream_chunk(
+                params, MICRO, stream, chunk, engine=engine
+            )
+            parts.append(np.asarray(cls))
+        np.testing.assert_array_equal(
+            np.concatenate(parts, axis=1), np.asarray(one_shot),
+            err_msg=f"engine={engine}",
+        )
+
+
+def test_generate_streaming_yields_waveform():
+    from lb_wavenet_tpu.generate import generate_streaming
+
+    params = init_params(jax.random.key(0), MICRO)
+    chunks = list(
+        generate_streaming(params, MICRO, jax.random.key(3), 2, 8, n_chunks=3)
+    )
+    assert len(chunks) == 3
+    for c in chunks:
+        assert c.shape == (2, 8)
+        assert bool(jnp.all(jnp.isfinite(c)))
+        assert float(jnp.abs(c).max()) <= 1.0
