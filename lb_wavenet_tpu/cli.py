@@ -143,6 +143,52 @@ def cmd_generate(args) -> int:
             )
         speaker_ids = np.asarray(ids, np.int32)
 
+    if args.stream_chunk:
+        if cond_frames is not None or forced is not None:
+            raise SystemExit(
+                "--stream-chunk streams free-running (optionally speaker-"
+                "conditioned) synthesis; mel/priming need the one-shot path"
+            )
+        from .generate import mu_law_decode, start_stream, stream_chunk
+
+        chunk = int(args.stream_chunk)
+        stream = start_stream(
+            cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed)
+        )
+        parts = []
+        emitted = 0
+        while emitted < cfg.gen.n_samples:
+            classes, stream = stream_chunk(
+                params, cfg.arch, stream, chunk,
+                speaker_ids=(
+                    jax.numpy.asarray(speaker_ids)
+                    if speaker_ids is not None else None
+                ),
+                temperature=cfg.gen.temperature,
+                engine=(cfg.gen.engine or "xla")
+                if (cfg.gen.engine or "xla") in ("xla", "pallas") else "xla",
+            )
+            parts.append(np.asarray(mu_law_decode(classes, cfg.arch.quant_channels)))
+            emitted += chunk
+            if jax.process_index() == 0:
+                print(json.dumps({"streamed_samples": emitted}), flush=True)
+        wav_np = np.concatenate(parts, axis=1)[:, : cfg.gen.n_samples]
+        os.makedirs(cfg.gen.out_dir, exist_ok=True)
+        if jax.process_index() == 0:
+            for b in range(wav_np.shape[0]):
+                write_wav(
+                    os.path.join(cfg.gen.out_dir, f"gen_{b:04d}.wav"),
+                    wav_np[b],
+                    cfg.arch.sample_rate,
+                )
+            print(json.dumps({
+                "generated": int(wav_np.shape[0]),
+                "n_samples": int(wav_np.shape[1]),
+                "out_dir": cfg.gen.out_dir,
+                "streamed": True,
+            }))
+        return 0
+
     if args.profile:
         jax.profiler.start_trace(args.profile)
     wav = generate(
@@ -216,6 +262,13 @@ def main(argv=None) -> int:
         default="",
         help="comma-separated speaker ids (global conditioning), one per "
         "batch lane or a single id broadcast",
+    )
+    p_gen.add_argument(
+        "--stream-chunk",
+        default=0,
+        type=int,
+        help="emit audio incrementally in chunks of this many samples "
+        "(streaming session; chunked output bit-matches one-shot)",
     )
     args = parser.parse_args(argv)
     return {"train": cmd_train, "generate": cmd_generate}[args.cmd](args)
