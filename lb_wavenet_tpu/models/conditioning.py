@@ -48,25 +48,31 @@ def init_upsampler_params(rng, arch: ArchConfig) -> dict:
 def upsample_cond(
     params: dict, arch: ArchConfig, frames: jnp.ndarray, dtype
 ) -> jnp.ndarray:
-    """(B, F, n_mels) frame features -> (B, F * hop, cond_channels)."""
+    """(B, F, n_mels) frame features -> (B, F * hop, cond_channels).
+
+    Computed in fp32 regardless of `dtype`: the stack is tiny and runs ONCE
+    per utterance (outside the AR loop / per train step), and
+    lax.conv_general_dilated's gradient rule rejects mixed dtypes — bf16
+    inputs with the fp32 cotangent produced by preferred_element_type broke
+    `grad` through bf16-arch mel training. Only the OUTPUT is cast to
+    `dtype` (halves the per-step conditioning stream the sampler reads).
+    """
     h = (
         jax.lax.dot_general(
-            frames.astype(dtype),
-            params["proj_w"].astype(dtype),
+            frames.astype(jnp.float32),
+            params["proj_w"].astype(jnp.float32),
             (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
         )
         + params["proj_b"]
     )
     for f, stage in zip(arch.upsample_factors, params["stages"]):
         h = jnp.repeat(h, f, axis=1)  # nearest-neighbor upsample by f
         out = jax.lax.conv_general_dilated(
-            h.astype(dtype),
-            stage["w"].astype(dtype),
+            h,
+            stage["w"].astype(jnp.float32),
             window_strides=(1,),
             padding="SAME",
             dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32,
         )
         h = jax.nn.leaky_relu(out + stage["b"], negative_slope=0.4)
-    return h
+    return h.astype(dtype)

@@ -40,7 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...config import ArchConfig
 
-_VMEM_LIMIT = 100 * 1024 * 1024
+# v5e has 128 MB of VMEM; the backward kernel's working set scales with
+# t_dim (W + R - 1) and crosses 100 MB around W = 8192 — leave only the
+# margin the pipeline needs.
+_VMEM_LIMIT = 116 * 1024 * 1024
 
 
 def _fwd_kernel(

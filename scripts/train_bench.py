@@ -30,10 +30,15 @@ def main() -> int:
     batch = int(os.environ.get("TB_BATCH", "8"))
     window = int(os.environ.get("TB_WINDOW", "4096"))
     n_steps = int(os.environ.get("TB_STEPS", "20"))
+    with_mel = os.environ.get("TB_MEL", "0") == "1"
 
     arch = ArchConfig(
         n_blocks=3, n_layers_per_block=10, residual_channels=64,
         skip_channels=256, gate_channels=64,
+        **(
+            dict(n_mels=80, cond_channels=64, upsample_factors=(4, 8, 8))
+            if with_mel else {}
+        ),
     )
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=fused,
@@ -50,6 +55,11 @@ def main() -> int:
     ).astype(np.int32)
     mask = jax.numpy.ones((batch, window), np.float32)
     batch_d = {"inputs": x, "targets": tgt, "mask": mask}
+    if with_mel:
+        n_frames = -(-(r - 1 + window) // arch.hop_size)
+        batch_d["mel"] = jax.random.normal(
+            jax.random.key(3), (batch, n_frames, arch.n_mels)
+        )
 
     t0 = time.perf_counter()
     state, loss = train_step(state, batch_d, arch, train)
@@ -69,6 +79,7 @@ def main() -> int:
         "unit": "samples/sec/chip",
         "detail": {
             "fused_stack": fused, "batch": batch, "window": window,
+            "mel": with_mel,
             "step_ms": round(step_ms, 2), "compile_s": round(compile_s, 1),
             "loss": round(loss, 4), "n_steps": n_steps,
             "backend": jax.default_backend(),
