@@ -143,7 +143,14 @@ def cmd_generate(args) -> int:
             )
         speaker_ids = np.asarray(ids, np.int32)
 
-    if args.stream_chunk:
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    streamed = bool(args.stream_chunk)
+    if streamed:
+        chunk = int(args.stream_chunk)
+        if chunk <= 0:
+            raise SystemExit(f"--stream-chunk must be positive, got {chunk}")
         if cond_frames is not None or forced is not None:
             raise SystemExit(
                 "--stream-chunk streams free-running (optionally speaker-"
@@ -151,7 +158,16 @@ def cmd_generate(args) -> int:
             )
         from .generate import mu_law_decode, start_stream, stream_chunk
 
-        chunk = int(args.stream_chunk)
+        # Streaming engines carry state between chunks: xla or pallas.
+        # Downgrade the one-shot fused engines to pallas, loudly.
+        eng = cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "xla")
+        if eng not in ("xla", "pallas"):
+            if jax.process_index() == 0:
+                print(json.dumps({
+                    "notice": f"engine {eng!r} is one-shot only; streaming "
+                              "with 'pallas' instead",
+                }), flush=True)
+            eng = "pallas"
         stream = start_stream(
             cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed)
         )
@@ -165,51 +181,35 @@ def cmd_generate(args) -> int:
                     if speaker_ids is not None else None
                 ),
                 temperature=cfg.gen.temperature,
-                engine=(cfg.gen.engine or "xla")
-                if (cfg.gen.engine or "xla") in ("xla", "pallas") else "xla",
+                engine=eng,
             )
-            parts.append(np.asarray(mu_law_decode(classes, cfg.arch.quant_channels)))
+            parts.append(
+                np.asarray(mu_law_decode(classes, cfg.arch.quant_channels))
+            )
             emitted += chunk
             if jax.process_index() == 0:
                 print(json.dumps({"streamed_samples": emitted}), flush=True)
         wav_np = np.concatenate(parts, axis=1)[:, : cfg.gen.n_samples]
-        os.makedirs(cfg.gen.out_dir, exist_ok=True)
-        if jax.process_index() == 0:
-            for b in range(wav_np.shape[0]):
-                write_wav(
-                    os.path.join(cfg.gen.out_dir, f"gen_{b:04d}.wav"),
-                    wav_np[b],
-                    cfg.arch.sample_rate,
-                )
-            print(json.dumps({
-                "generated": int(wav_np.shape[0]),
-                "n_samples": int(wav_np.shape[1]),
-                "out_dir": cfg.gen.out_dir,
-                "streamed": True,
-            }))
-        return 0
+    else:
+        wav = generate(
+            params,
+            cfg.arch,
+            jax.random.key(cfg.gen.seed),
+            batch=cfg.gen.batch_size,
+            n_samples=cfg.gen.n_samples,
+            cond_frames=cond_frames,
+            speaker_ids=speaker_ids,
+            forced=forced,
+            temperature=cfg.gen.temperature,
+            use_pallas=cfg.gen.use_pallas,
+            engine=cfg.gen.engine or None,
+        )
+        wav_np = np.asarray(wav)  # also the reliable device sync on axon
 
-    if args.profile:
-        jax.profiler.start_trace(args.profile)
-    wav = generate(
-        params,
-        cfg.arch,
-        jax.random.key(cfg.gen.seed),
-        batch=cfg.gen.batch_size,
-        n_samples=cfg.gen.n_samples,
-        cond_frames=cond_frames,
-        speaker_ids=speaker_ids,
-        forced=forced,
-        temperature=cfg.gen.temperature,
-        use_pallas=cfg.gen.use_pallas,
-        engine=cfg.gen.engine or None,
-    )
-    wav.block_until_ready()
     if args.profile:
         jax.profiler.stop_trace()
 
     os.makedirs(cfg.gen.out_dir, exist_ok=True)
-    wav_np = np.asarray(wav)
     if jax.process_index() == 0:
         for b in range(wav_np.shape[0]):
             write_wav(
@@ -217,15 +217,14 @@ def cmd_generate(args) -> int:
                 wav_np[b],
                 cfg.arch.sample_rate,
             )
-        print(
-            json.dumps(
-                {
-                    "generated": int(wav_np.shape[0]),
-                    "n_samples": int(wav_np.shape[1]),
-                    "out_dir": cfg.gen.out_dir,
-                }
-            )
-        )
+        summary = {
+            "generated": int(wav_np.shape[0]),
+            "n_samples": int(wav_np.shape[1]),
+            "out_dir": cfg.gen.out_dir,
+        }
+        if streamed:
+            summary["streamed"] = True
+        print(json.dumps(summary))
     return 0
 
 

@@ -158,31 +158,42 @@ class Corpus:
         return out
 
 
-def lane_schedule(corpus: Corpus, train: TrainConfig) -> list:
-    """Per-lane window sequences for lane-continuous ("virtual batch") mode.
+class LaneSchedule:
+    """Lane-continuous ("virtual batch") window order (SURVEY.md §2.1 [M]).
 
-    The reference keeps each batch lane walking ONE file's windows in order,
-    moving to the next file when it is exhausted (SURVEY.md §2.1 [M]); lane
-    k's sequence here is all (file, window) pairs, files in a per-lane seeded
-    permutation, windows in order within each file — so consecutive steps of
-    a lane are consecutive spans of audio. Deterministic in (seed, lane);
-    the cursor at step s is simply s mod len(sequence) (exact resume).
+    One seeded permutation of the corpus FILES defines a circular sequence
+    of all n (file, window) pairs — files in permuted order, windows in
+    order within each file. The B batch lanes are B evenly staggered
+    cursors on that one circle (lane k starts at (k*n)//B), each advancing
+    by one window per step. Consequences:
+
+      * lane continuity — consecutive steps of a lane are consecutive
+        audio spans of one file until it is exhausted (the reference's
+        virtual-batch behavior);
+      * full coverage — a batch step consumes B distinct positions, and
+        the union of all lanes sweeps the whole corpus every ceil(n/B)
+        steps with no in-batch duplicates (for n >= B);
+      * O(1) memory and O(log F) lookup — nothing is materialized; the
+        pair at (lane, step) is computed from per-file window-count prefix
+        sums, so the dataset cursor for exact resume is just the step.
     """
-    seqs = []
-    for k in range(train.batch_size):
-        rng = np.random.default_rng(
-            np.random.SeedSequence([train.seed, 7, k])
-        )
-        file_order = rng.permutation(len(corpus.encoded))
-        seq = [
-            (int(fi), wi)
-            for fi in file_order
-            for wi in range(
-                geometry.num_windows(len(corpus.encoded[fi]), corpus.window_size)
-            )
+
+    def __init__(self, corpus: Corpus, train: TrainConfig):
+        rng = np.random.default_rng(np.random.SeedSequence([train.seed, 7]))
+        self.file_order = rng.permutation(len(corpus.encoded))
+        counts = [
+            geometry.num_windows(len(corpus.encoded[fi]), corpus.window_size)
+            for fi in self.file_order
         ]
-        seqs.append(seq)
-    return seqs
+        self.prefix = np.concatenate([[0], np.cumsum(counts)])
+        self.n = int(self.prefix[-1])
+        self.batch_size = train.batch_size
+
+    def pair(self, lane: int, step: int) -> tuple:
+        """(file, window) for `lane` at `step`."""
+        pos = (lane * self.n // self.batch_size + step) % self.n
+        j = int(np.searchsorted(self.prefix, pos, side="right")) - 1
+        return int(self.file_order[j]), int(pos - self.prefix[j])
 
 
 def make_batches(
@@ -210,7 +221,7 @@ def make_batches(
     in_len = corpus.r_field - 1 + corpus.window_size
     n_frames = -(-in_len // arch.hop_size) if with_mel else 0
     lanes = (
-        lane_schedule(corpus, train)
+        LaneSchedule(corpus, train)
         if getattr(train, "lane_continuous", False)
         else None
     )
@@ -219,8 +230,7 @@ def make_batches(
     while True:
         if lanes is not None:
             pairs = [
-                lanes[k][step % len(lanes[k])]
-                for k in range(train.batch_size)
+                lanes.pair(k, step) for k in range(train.batch_size)
             ][host_id::host_count]
         else:
             epoch = (step * train.batch_size) // n

@@ -159,18 +159,6 @@ def _sample_class(rng, logits, temperature: float):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "arch",
-        "batch",
-        "n_samples",
-        "temperature",
-        "return_logits",
-        "use_pallas",
-        "engine",
-    ),
-)
 def generate_classes(
     params: Params,
     arch: ArchConfig,
@@ -184,6 +172,49 @@ def generate_classes(
     return_logits: bool = False,
     use_pallas: bool = False,
     engine: Optional[str] = None,
+):
+    """Non-jitted entry: experiment env knobs are read HERE, outside every
+    jit trace, and threaded through as static args — so an in-process flip
+    of a knob retraces instead of silently hitting the cached executable."""
+    import os as _os
+
+    return _generate_classes_jit(
+        params, arch, rng, batch, n_samples, cond, speaker_ids, forced,
+        temperature, return_logits, use_pallas, engine,
+        mega_vmem_d=int(_os.environ.get("WAVENET_MEGA_VMEM_D", "1")),
+        mega_pad_test=int(_os.environ.get("WAVENET_MEGA_PAD_TEST", "1")),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "arch",
+        "batch",
+        "n_samples",
+        "temperature",
+        "return_logits",
+        "use_pallas",
+        "engine",
+        "mega_vmem_d",
+        "mega_pad_test",
+    ),
+)
+def _generate_classes_jit(
+    params: Params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    batch: int,
+    n_samples: int,
+    cond: Optional[jnp.ndarray] = None,       # (B, T>=n_samples, cond_ch) upsampled
+    speaker_ids: Optional[jnp.ndarray] = None,
+    forced: Optional[jnp.ndarray] = None,     # (B, T) int32, -1 = free-running
+    temperature: float = 1.0,
+    return_logits: bool = False,
+    use_pallas: bool = False,
+    engine: Optional[str] = None,
+    mega_vmem_d: int = 1,
+    mega_pad_test: int = 1,
 ):
     """Ring-buffer scan over n_samples steps. Returns (classes (B, T)[, logits]).
 
@@ -212,7 +243,7 @@ def generate_classes(
             raise ValueError("turbo engine does not expose logits")
         return _generate_classes_fused(
             params, arch, rng, b, n_samples, cond, gcond, forced, temperature,
-            engine, return_logits,
+            engine, return_logits, mega_vmem_d, mega_pad_test,
         )
 
     state = init_ring_state(arch, b, rng)
@@ -314,6 +345,8 @@ def _generate_classes_fused(
     temperature: float,
     engine: str = "turbo",
     return_logits: bool = False,
+    mega_vmem_d: int = 1,
+    mega_pad_test: int = 1,
 ):
     """Fully-fused engines.
 
@@ -369,19 +402,14 @@ def _generate_classes_fused(
     seed_base = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max - n_samples)
 
     if engine == "mega":
-        import os as _os
-
         from .ops.pallas.ar_mega import mega_generate
 
         # The kernel's manual ring-buffer DMA needs batch % 128 == 0 on real
         # TPUs; pad extra lanes (teacher-forced to class 0 — deterministic,
         # discarded below) so ANY batch size works. Interpret mode has no
-        # lane restriction; WAVENET_MEGA_PAD_TEST exercises the padding
-        # logic on CPU.
-        pad_multiple = (
-            128 if not interpret
-            else int(_os.environ.get("WAVENET_MEGA_PAD_TEST", "1"))
-        )
+        # lane restriction; mega_pad_test (WAVENET_MEGA_PAD_TEST, read in
+        # the non-jitted wrapper) exercises the padding logic on CPU.
+        pad_multiple = 128 if not interpret else mega_pad_test
         pad = (-b) % pad_multiple
         if pad:
             forced_ts = jnp.concatenate(
@@ -416,6 +444,7 @@ def _generate_classes_fused(
             has_cond,
             interpret=interpret,
             emit_logits=return_logits,
+            vmem_dmax=mega_vmem_d,
         )
         if return_logits:
             classes, logits = out
@@ -500,6 +529,21 @@ def stream_chunk(
 
     Returns (classes (B, chunk)[, logits], new_stream).
     """
+    if cond is not None and cond.shape[1] != chunk_size:
+        # Refuse a longer (whole-utterance) cond array: this function has
+        # no notion of where in it the stream is, so it would silently
+        # reuse frames [0:chunk_size) every chunk. Callers slice the
+        # upsampled conditioning to THIS chunk's span themselves
+        # (cond_full[:, t0 : t0 + chunk_size]).
+        raise ValueError(
+            f"stream_chunk cond must cover exactly this chunk: expected "
+            f"(B, {chunk_size}, Cc), got {cond.shape}"
+        )
+    if forced is not None and forced.shape[1] != chunk_size:
+        raise ValueError(
+            f"stream_chunk forced must be (B, {chunk_size}), got "
+            f"{forced.shape}"
+        )
     gcond = None
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]

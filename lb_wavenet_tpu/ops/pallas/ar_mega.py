@@ -255,7 +255,8 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("arch", "n_samples", "temperature", "has_cond", "interpret", "emit_logits"),
+    static_argnames=("arch", "n_samples", "temperature", "has_cond",
+                     "interpret", "emit_logits", "vmem_dmax"),
 )
 def mega_generate(
     params: dict,
@@ -271,6 +272,7 @@ def mega_generate(
     has_cond: bool,
     interpret: bool = False,
     emit_logits: bool = False,
+    vmem_dmax: int = 1,
 ):
     """Run the whole generation loop; returns classes (T, 1, B) int32
     (plus logits (T, Q, B) when emit_logits — the correctness-test hook).
@@ -355,13 +357,11 @@ def mega_generate(
         args += [tr(cond_ts), wcast(tr(lp["w_cond"]))]
 
     # Layers with 1 < d <= vmem_dmax keep their rings in VMEM scratch (no
-    # DMA). Measured NEUTRAL on v5e at wavenet30/B=512 (7-run A/B, means
-    # 367 vs 368 a-s/s — the ring DMAs are already fully hidden behind the
-    # layer compute), so the proven HBM-DMA path stays the default;
-    # WAVENET_MEGA_VMEM_D enables it for experiments (read at trace time).
-    import os as _os
-
-    vmem_dmax = int(_os.environ.get("WAVENET_MEGA_VMEM_D", "1"))
+    # DMA). Measured NEUTRAL on v5e at wavenet30/B=512 (7-run cross-process
+    # A/B, means 367 vs 368 a-s/s — the ring DMAs are already fully hidden
+    # behind the layer compute), so the proven HBM-DMA default is 1;
+    # WAVENET_MEGA_VMEM_D enables it (read in generate_classes, OUTSIDE
+    # jit, and threaded here as a static arg so flips always retrace).
     vrows = sum(d for d in arch.dilations if 1 < d <= vmem_dmax)
 
     kernel = _make_mega_kernel(

@@ -34,7 +34,8 @@ def main() -> int:
 
     arch = ArchConfig(
         n_blocks=3, n_layers_per_block=10, residual_channels=64,
-        skip_channels=256, gate_channels=64,
+        skip_channels=int(os.environ.get("TB_SKIP", "256")),
+        gate_channels=64,
         **(
             dict(n_mels=80, cond_channels=64, upsample_factors=(4, 8, 8))
             if with_mel else {}

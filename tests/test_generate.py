@@ -143,3 +143,50 @@ def test_generate_streaming_yields_waveform():
         assert c.shape == (2, 8)
         assert bool(jnp.all(jnp.isfinite(c)))
         assert float(jnp.abs(c).max()) <= 1.0
+
+
+def test_streaming_conditioned_chunks_bit_match_one_shot():
+    """Per-chunk cond slices (the documented streaming usage) reproduce the
+    one-shot conditioned output; a whole-utterance cond array is rejected."""
+    import pytest
+
+    from lb_wavenet_tpu.config import ArchConfig
+    from lb_wavenet_tpu.generate import (
+        generate_classes,
+        start_stream,
+        stream_chunk,
+    )
+    from lb_wavenet_tpu.models.conditioning import upsample_cond
+
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8, n_mels=8, cond_channels=8,
+        upsample_factors=(4,), n_speakers=4, speaker_embed_dim=6,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    total, chunk = 16, 4
+    frames = jax.random.normal(jax.random.key(1), (2, total // 4, 8))
+    cond_full = upsample_cond(params["upsampler"], arch, frames, jnp.float32)
+    spk = jnp.asarray([1, 3])
+    one_shot = generate_classes(
+        params, arch, jax.random.key(11), 2, total,
+        cond=cond_full, speaker_ids=spk,
+    )
+    stream = start_stream(arch, 2, jax.random.key(11))
+    parts = []
+    for i in range(total // chunk):
+        cls, stream = stream_chunk(
+            params, arch, stream, chunk,
+            cond=cond_full[:, i * chunk : (i + 1) * chunk],
+            speaker_ids=spk,
+        )
+        parts.append(np.asarray(cls))
+    np.testing.assert_array_equal(
+        np.concatenate(parts, axis=1), np.asarray(one_shot)
+    )
+    # Whole-utterance cond (longer than the chunk) must be rejected, not
+    # silently reused from frame 0.
+    with pytest.raises(ValueError, match="exactly this chunk"):
+        stream_chunk(params, arch, stream, chunk, cond=cond_full,
+                     speaker_ids=spk)

@@ -71,11 +71,11 @@ def test_extract_window_boundary_masks():
 
 
 def test_lane_continuous_batches():
-    """Reference-style virtual-batch lanes: each lane walks one file's
-    windows in order, moving to the next file when exhausted; host-sharded
-    union == single-host batch; deterministic resume from a step cursor."""
+    """Reference-style virtual-batch lanes: staggered cursors on one
+    circular file-permutation sequence — per-lane continuity, no in-batch
+    duplicates, full corpus coverage every ceil(n/B) steps, O(1) resume."""
     from lb_wavenet_tpu.config import TrainConfig
-    from lb_wavenet_tpu.data import lane_schedule, make_batches, synthetic_corpus
+    from lb_wavenet_tpu.data import LaneSchedule, make_batches, synthetic_corpus
 
     arch = ArchConfig(
         n_blocks=1, n_layers_per_block=3, residual_channels=8,
@@ -84,19 +84,34 @@ def test_lane_continuous_batches():
     train = TrainConfig(batch_size=4, window_size=100, lane_continuous=True)
     corpus = synthetic_corpus(arch, 100, n_files=3, file_len=1000)
 
-    seqs = lane_schedule(corpus, train)
-    assert len(seqs) == 4
-    for seq in seqs:
-        assert sorted(seq) == sorted(corpus.index)  # full coverage per lane
+    sched = LaneSchedule(corpus, train)
+    n = sched.n
+    assert n == len(corpus.index)
+    for k in range(4):
+        seq = [sched.pair(k, s) for s in range(n)]
+        # Full coverage per lane over one circle.
+        assert sorted(seq) == sorted(corpus.index)
+        # Continuity: windows advance sequentially within a file (except
+        # at the single circular wrap point).
+        breaks = 0
         for (f0, w0), (f1, w1) in zip(seq, seq[1:]):
-            # Within a file, windows advance sequentially (continuity).
-            assert (f1 == f0 and w1 == w0 + 1) or (f1 != f0 and w1 == 0)
+            ok = (f1 == f0 and w1 == w0 + 1) or (f1 != f0 and w1 == 0)
+            if not ok:
+                breaks += 1
+        assert breaks <= 1  # only the wrap of the circular sequence
+    # No duplicates within any batch; union over ceil(n/B) steps == corpus.
+    seen = set()
+    for s in range(-(-n // 4)):
+        batch_pairs = [sched.pair(k, s) for k in range(4)]
+        assert len(set(batch_pairs)) == 4
+        seen.update(batch_pairs)
+    assert seen == set(corpus.index)
 
     # Batch content matches the schedule, including mid-stream start.
     it = make_batches(corpus, train, start_step=5)
     b5 = next(it)
     for k in range(4):
-        fi, wi = seqs[k][5 % len(seqs[k])]
+        fi, wi = sched.pair(k, 5)
         exp_inputs, exp_targets, _ = corpus.example(fi, wi)
         np.testing.assert_array_equal(b5.inputs[k], exp_inputs)
         np.testing.assert_array_equal(b5.targets[k], exp_targets)

@@ -236,9 +236,10 @@ def test_mega_engine_vmem_rings(monkeypatch):
     """WAVENET_MEGA_VMEM_D: small-dilation rings resident in VMEM scratch
     (no DMA) — must match the XLA engine exactly like the default path."""
     monkeypatch.setenv("WAVENET_MEGA_VMEM_D", "4")
-    # Unique (batch, n_samples) so the env knob (read at trace time) cannot
-    # be masked by a cached trace from the default-path tests above.
-    t2 = T + 1
+    # Same (batch, n_samples) as the default-path tests above: the knob is
+    # read outside jit and threaded as a static arg, so the flip must
+    # RETRACE rather than hit the cached default-path executable.
+    t2 = T
     params = init_params(jax.random.key(0), MICRO)
     rng = jax.random.key(5)
     forced = jnp.concatenate(
