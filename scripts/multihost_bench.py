@@ -46,6 +46,14 @@ def main() -> int:
 
     import jax
 
+    # Like the CLI: this image's TPU plugin force-selects the axon platform
+    # (env JAX_PLATFORMS is overridden programmatically), so an explicit
+    # escape hatch is needed for host-only runs — without it a "2-process
+    # CPU smoke" silently becomes two standalone runs fighting over the one
+    # real chip (process_count() == 1 in each).
+    if os.environ.get("WAVENET_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["WAVENET_PLATFORM"])
+
     if args.num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=args.coordinator,
