@@ -88,3 +88,49 @@ def test_conditioned_forward_shapes():
     logits = fwd(params, arch, x, cond=frames, spk=spk)
     assert logits.shape == (2, t, 256)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_invariant_across_randomized_archs():
+    """Fast-WaveNet train-forward == incremental-scan invariant, swept over
+    randomized tiny architectures (dilation patterns, input kernel widths,
+    channel shapes) — not just the fixed MICRO config."""
+    import numpy as np
+
+    from lb_wavenet_tpu.config import ArchConfig
+    from lb_wavenet_tpu.generate import generate_classes
+    from lb_wavenet_tpu.models.wavenet import forward, init_params
+
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        arch = ArchConfig(
+            n_blocks=int(rng.integers(1, 3)),
+            n_layers_per_block=int(rng.integers(2, 5)),
+            residual_channels=int(rng.choice([4, 8, 16])),
+            skip_channels=int(rng.choice([4, 8, 16])),
+            gate_channels=int(rng.choice([4, 8])),
+            input_kernel=int(rng.choice([2, 3])),
+            compute_dtype="float32",
+        )
+        params = init_params(jax.random.key(trial), arch)
+        b, t = 2, 12
+        forced = jax.numpy.asarray(
+            rng.integers(0, 256, (b, t)), jax.numpy.int32
+        )
+        # Teacher-forced scan logits at step s consume classes [0..s] with
+        # zero-class left padding — exactly forward() on the same prefix.
+        _, scan_logits = generate_classes(
+            params, arch, jax.random.key(trial + 100), b, t,
+            forced=forced, return_logits=True,
+        )
+        zero = jax.numpy.full((b, 1), arch.quant_channels // 2,
+                              jax.numpy.int32)
+        x = jax.numpy.concatenate([zero, forced[:, :-1]], axis=1)
+        fwd_logits = jax.jit(
+            lambda p, y, a=arch: forward(p, a, y)
+        )(params, x)
+        np.testing.assert_allclose(
+            np.asarray(scan_logits), np.asarray(fwd_logits),
+            rtol=2e-5, atol=2e-5,
+            err_msg=f"trial {trial}: arch={arch.dilations}, "
+                    f"K={arch.input_kernel}",
+        )
