@@ -8,7 +8,7 @@ vs_baseline reports value / 10.0 (ratio against the 10x-real-time target).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Env knobs: BENCH_BATCH (default 128), BENCH_SAMPLES (default 2048),
+Env knobs: BENCH_BATCH (preset-specific default), BENCH_SAMPLES (default 8192),
 BENCH_CONFIG (arch preset: wavenet30 | stress), BENCH_ENGINE
 (xla | pallas | turbo | mega; default mega, turbo when batch % 128 != 0).
 """
@@ -43,7 +43,8 @@ def main() -> int:
             gate_channels=64,
             sample_rate=24000,
         )
-        batch = int(os.environ.get("BENCH_BATCH", "256"))
+        # Stress: 1032 a-s/s measured at B=1024 (D2H-free timing).
+        batch = int(os.environ.get("BENCH_BATCH", "1024"))
     elif preset == "mel":
         # BASELINE config 3: mel-conditioned vocoder (flagship).
         arch = ArchConfig(
@@ -56,6 +57,9 @@ def main() -> int:
             cond_channels=64,
             upsample_factors=(4, 8, 8),
         )
+        # Mel: the upsampled conditioning stream is (B, 2T, Cc) in HBM
+        # (~4 GB at B=1024/T=16k -> ResourceExhausted on v5e); 512 is the
+        # largest clean batch at the default clip length.
         batch = int(os.environ.get("BENCH_BATCH", "512"))
     else:
         arch = ArchConfig(
@@ -65,9 +69,11 @@ def main() -> int:
             skip_channels=256,
             gate_channels=64,
         )
-        # B=512 is the measured throughput optimum for the mega engine on
-        # v5e (428 vs ~330 @ B=256; past 512 it degrades — docs/kernels.md).
-        batch = int(os.environ.get("BENCH_BATCH", "512"))
+        # B=1536 is the measured throughput optimum for the mega engine on
+        # v5e with the D2H-free timing (2475 a-s/s vs 2250 @ B=1024/1280,
+        # 1985 @ B=2048 — docs/kernels.md). The old "512 optimum" was a
+        # relay-D2H measurement artifact.
+        batch = int(os.environ.get("BENCH_BATCH", "1536"))
     n_samples = int(os.environ.get("BENCH_SAMPLES", "8192"))
     # Engine: mega (whole loop in one Pallas kernel) is the production
     # default; it requires batch % 128 == 0, else fall back to turbo.
@@ -106,9 +112,17 @@ def main() -> int:
         )
         # NOTE: on the axon remote backend block_until_ready() can return
         # before execution completes; a host materialization is the only
-        # reliable sync. Transfer cost (~0.1 s for MBs) is noise vs multi-
-        # second timed runs.
-        return np.asarray(out)
+        # reliable sync. Materialize a REDUCTION, not the full (B, T) class
+        # array: the sum depends on every sample (full compute forced) but
+        # transfers 8 bytes, while the full array is 16-32 MB whose
+        # relay-D2H time scales with T and therefore SURVIVES the
+        # difference timing below — it was depressing the measured
+        # throughput by ~2.5x (427 vs ~1100 audio-sec/sec measured when
+        # only a scalar is fetched).
+        probe = np.asarray(out[:, -1])  # (B,) last step: shape/range check
+        total = int(np.asarray(out.astype(np.int64).sum()))
+        assert probe.shape == (batch,) and 0 <= probe.min() and probe.max() < arch.quant_channels
+        return out.shape, total
 
     # Warmup / compile both lengths (persistent cache makes reruns cheap).
     t0 = time.perf_counter()
@@ -121,12 +135,12 @@ def main() -> int:
     t_short = t_long = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(n_samples)
+        shape, _ = run(n_samples)
         t_short = min(t_short, time.perf_counter() - t0)
         t0 = time.perf_counter()
-        out2 = run(2 * n_samples)
+        run(2 * n_samples)
         t_long = min(t_long, time.perf_counter() - t0)
-    assert out.shape == (batch, n_samples)
+    assert shape == (batch, n_samples)
     elapsed = max(t_long - t_short, 1e-6)  # time for n_samples of pure loop
 
     audio_sec = batch * n_samples / arch.sample_rate

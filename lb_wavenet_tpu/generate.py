@@ -399,7 +399,11 @@ def _generate_classes_fused(
     bufs = jnp.zeros((sum(arch.dilations), b, arch.residual_channels))
     offsets = jnp.asarray(buffer_offsets(arch), jnp.int32)
     dils = jnp.asarray(arch.dilations, jnp.int32)
-    seed_base = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max - n_samples)
+    # Bound independent of n_samples: (a) seed_base + t stays far from
+    # int32 overflow for any realistic t, and (b) a streaming session
+    # (which cannot know its total length) derives the IDENTICAL seed from
+    # the same rng — sampled mega streams bit-match one-shot runs.
+    seed_base = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max // 2)
 
     if engine == "mega":
         from .ops.pallas.ar_mega import mega_generate
@@ -488,14 +492,51 @@ def _generate_classes_fused(
 
 
 class Stream(NamedTuple):
-    """Carried state for incremental (chunked) synthesis."""
+    """Carried state for incremental (chunked) synthesis.
 
-    state: RingState
+    `state` is a RingState for the scan engines (xla/pallas) or a dict
+    carry for the mega engine — pass the SAME engine to every stream_chunk
+    call of a session.
+    """
+
+    state: object
     t: jnp.ndarray  # () int32: absolute sample index of the next step
 
 
-def start_stream(arch: ArchConfig, batch: int, rng: jax.Array) -> Stream:
-    """Open a streaming-synthesis session (see stream_chunk)."""
+def start_stream(
+    arch: ArchConfig,
+    batch: int,
+    rng: jax.Array,
+    engine: str = "xla",
+    params: Optional[Params] = None,
+) -> Stream:
+    """Open a streaming-synthesis session (see stream_chunk).
+
+    engine "xla"/"pallas" (scan engines; any batch) or "mega" (whole-chunk
+    kernel, ~2x the pallas streaming throughput; batch % 128 == 0 on TPU;
+    needs `params` here to seed its in-kernel state).
+    """
+    if engine == "mega":
+        if params is None:
+            raise ValueError("start_stream(engine='mega') needs params")
+        if arch.input_kernel != 2:
+            raise NotImplementedError("mega engine assumes input_kernel == 2")
+        from .ops.pallas.ar_mega import mega_zero_carry
+
+        dtype = jnp.dtype(arch.compute_dtype)
+        zero_cls = jnp.full((batch,), arch.quant_channels // 2, jnp.int32)
+        e0 = params["embed"][zero_cls]
+        w_in = params["input_conv"]["w"]
+        h0 = params["input_conv"]["b"].astype(jnp.float32) + _mm(
+            e0, w_in[1], dtype
+        )
+        state = {
+            "carry": mega_zero_carry(arch, h0, e0),
+            "seed_base": jax.random.randint(
+                rng, (), 0, jnp.iinfo(jnp.int32).max // 2
+            ),
+        }
+        return Stream(state, jnp.int32(0))
     return Stream(init_ring_state(arch, batch, rng), jnp.int32(0))
 
 
@@ -547,6 +588,13 @@ def stream_chunk(
     gcond = None
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]
+
+    if engine == "mega":
+        return _mega_stream_chunk(
+            params, arch, stream, chunk_size, cond, gcond, forced,
+            temperature, return_logits,
+        )
+
     new_state, out = _run_scan_engine(
         params, arch, stream.state, stream.t, chunk_size, cond, forced,
         gcond, temperature, return_logits, engine,
@@ -562,6 +610,76 @@ def stream_chunk(
     return jnp.swapaxes(out, 0, 1), new_stream
 
 
+def _mega_stream_chunk(
+    params: Params,
+    arch: ArchConfig,
+    stream: Stream,
+    chunk_size: int,
+    cond,
+    gcond,
+    forced,
+    temperature: float,
+    return_logits: bool,
+):
+    """One mega-engine chunk: the whole chunk in ONE pallas_call, carrying
+    (ring buffer, staged pairs, frontend) between chunks. Ring-slot phase
+    and the in-kernel sampling-seed chain use the ABSOLUTE time stream.t +
+    step, so chunked output continues the one-shot mega sequence exactly."""
+    from .ops.pallas.ar_mega import mega_generate
+
+    interpret = jax.default_backend() == "cpu"
+    carry = stream.state["carry"]
+    b = carry["h_s"].shape[-1]
+    if not interpret and b % 128 != 0:
+        raise ValueError(
+            f"mega streaming needs batch % 128 == 0 on TPU, got {b}; use "
+            "the pallas engine or pad the session batch"
+        )
+    # Fold global conditioning into the per-step conditioning (same scheme
+    # as the one-shot fused path).
+    lp = params["layers"]
+    cond_ts = jnp.swapaxes(cond, 0, 1) if cond is not None else None
+    if gcond is not None:
+        g_ts = jnp.broadcast_to(gcond[None], (chunk_size,) + gcond.shape)
+        lp = dict(lp)
+        if cond_ts is not None:
+            cond_ts = jnp.concatenate([cond_ts, g_ts], axis=-1)
+            lp["w_cond"] = jnp.concatenate(
+                [params["layers"]["w_cond"], params["layers"]["w_gcond"]],
+                axis=1,
+            )
+        else:
+            cond_ts = g_ts
+            lp["w_cond"] = params["layers"]["w_gcond"]
+    has_cond = cond_ts is not None
+    if forced is None:
+        forced_ts = jnp.full((chunk_size, b), -1, jnp.int32)
+    else:
+        forced_ts = jnp.swapaxes(forced, 0, 1).astype(jnp.int32)
+
+    dummy_be = jnp.swapaxes(carry["h_s"], 0, 1)  # (B, C): shape source only
+    out = mega_generate(
+        params, lp, arch, dummy_be, dummy_be,
+        stream.state["seed_base"],
+        forced_ts[:, None, :], cond_ts, chunk_size, temperature, has_cond,
+        interpret=interpret, emit_logits=return_logits,
+        streaming=True, carry=carry, t0=stream.t,
+    )
+    if return_logits:
+        classes, logits, new_carry = out
+    else:
+        classes, new_carry = out
+        logits = None
+    new_stream = Stream(
+        {"carry": new_carry, "seed_base": stream.state["seed_base"]},
+        stream.t + jnp.int32(chunk_size),
+    )
+    cls_bt = jnp.swapaxes(classes[:, 0, :], 0, 1)  # (B, T)
+    if return_logits:
+        return cls_bt, jnp.transpose(logits, (2, 0, 1)), new_stream
+    return cls_bt, new_stream
+
+
 def generate_streaming(
     params: Params,
     arch: ArchConfig,
@@ -574,7 +692,7 @@ def generate_streaming(
 ):
     """Host-side generator yielding decoded wav chunks (B, chunk_size) in
     [-1, 1] — unbounded when n_chunks is None."""
-    stream = start_stream(arch, batch, rng)
+    stream = start_stream(arch, batch, rng, engine=engine, params=params)
     i = 0
     while n_chunks is None or i < n_chunks:
         classes, stream = stream_chunk(

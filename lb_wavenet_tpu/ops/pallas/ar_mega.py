@@ -74,7 +74,7 @@ def _gumbel_bits(q, bsz, seed_scalar, use_hw_prng):
 
 def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
                       use_hw_prng: bool, buf_dtype, emit_logits: bool = False,
-                      vmem_dmax: int = 1):
+                      vmem_dmax: int = 1, streaming: bool = False):
     """vmem_dmax: layers with 1 < d <= vmem_dmax keep their ring in a VMEM
     scratch instead of HBM — their DMA machinery (issue + 2 semaphore waits
     per step) becomes two cheap VPU copies. d == 1 layers never have a ring
@@ -97,24 +97,37 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
 
     dt = jnp.dtype(arch.compute_dtype)
 
+    if streaming and has_vring:
+        raise NotImplementedError(
+            "streaming carries do not include the experimental VMEM rings; "
+            "use the default WAVENET_MEGA_VMEM_D=1 for mega streaming"
+        )
+
     def kernel(*refs):
-        (seed_ref,) = refs[:1]
+        # Scalar prefetch: [seed_base, t0] (t0 = absolute sample index of
+        # this chunk's first step; 0 for one-shot calls).
+        (sc_ref,) = refs[:1]
         (h0_ref, e0_ref, bufs_in, wcat_ref, b_ref, wr_ref, br_ref, ws_ref,
          bs_ref, w1_ref, b1_ref, w2_ref, b2_ref, emb_ref, wi0_ref, wi1_ref,
          bi_ref, forced_ref) = refs[1:19]
         idx = 19
+        if streaming:
+            hst0_ref = refs[idx]
+            idx += 1
+        else:
+            hst0_ref = None
         if has_cond:
             cond_ref, wcond_ref = refs[idx:idx + 2]
             idx += 2
         else:
             cond_ref = wcond_ref = None
-        if emit_logits:
-            bufs_ref, cls_ref, logits_ref = refs[idx:idx + 3]
-            idx += 3
-        else:
-            bufs_ref, cls_ref = refs[idx:idx + 2]
-            logits_ref = None
-            idx += 2
+        n_out = 2 + (1 if emit_logits else 0) + (3 if streaming else 0)
+        outs = refs[idx:idx + n_out]
+        idx += n_out
+        bufs_ref, cls_ref = outs[0], outs[1]
+        logits_ref = outs[2] if emit_logits else None
+        if streaming:
+            hstate_out, hs_out, es_out = outs[-3:]
         if has_vring:
             (h_s, e_s, hstate, vring, rsem, wsem) = refs[idx:]
         else:
@@ -126,12 +139,19 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         # matmul reads the (2C, B) pair directly: no concat materialization.
 
         t = pl.program_id(0)
+        t_abs = sc_ref[1] + t  # == t for one-shot (t0 = 0)
+        seed_ref = sc_ref      # seed at index 0 (see _gumbel seed use)
 
         @pl.when(t == 0)
         def _():
             h_s[:] = h0_ref[:]
             e_s[:] = e0_ref[:]
-            hstate[:] = jnp.zeros_like(hstate)
+            if streaming:
+                # Resume mid-stream: the staged [h | tap] pairs from the
+                # previous chunk's last step (d == 1 taps live here).
+                hstate[:] = hst0_ref[:]
+            else:
+                hstate[:] = jnp.zeros_like(hstate)
             if vring is not None:
                 vring[:] = jnp.zeros_like(vring)
 
@@ -149,7 +169,9 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         slots = [None] * L
         for l in range(L):
             if dils[l] > 1 and voffsets[l] is None:
-                slot = (offsets[l] + jax.lax.rem(t, jnp.int32(dils[l]))) * c_dim
+                slot = (
+                    offsets[l] + jax.lax.rem(t_abs, jnp.int32(dils[l]))
+                ) * c_dim
                 slots[l] = slot
                 pltpu.make_async_copy(
                     bufs_ref.at[pl.ds(slot, c_dim)],
@@ -166,7 +188,7 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
                 # VMEM-resident ring: read the tap, then overwrite the slot
                 # with this step's h — two VPU copies, no DMA/semaphores.
                 vslot = (
-                    voffsets[l] + jax.lax.rem(t, jnp.int32(dils[l]))
+                    voffsets[l] + jax.lax.rem(t_abs, jnp.int32(dils[l]))
                 ) * c_dim
                 hstate[pl.ds(row0 + c_dim, c_dim)] = vring[pl.ds(vslot, c_dim)]
                 vring[pl.ds(vslot, c_dim)] = h.astype(buf_dtype)
@@ -228,7 +250,7 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         if emit_logits:
             logits_ref[0] = logits
         if temperature > 0.0:
-            bits = _gumbel_bits(q, bsz, seed_ref[0] + t, use_hw_prng)
+            bits = _gumbel_bits(q, bsz, seed_ref[0] + t_abs, use_hw_prng)
             top24 = pltpu.bitcast(
                 jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
             )
@@ -250,13 +272,36 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         h_s[:] = bi_ref[:] + mm(wi1_ref[:], e_next) + mm(wi0_ref[:], e_s[:])
         e_s[:] = e_next
 
+        if streaming:
+            # Export the VMEM carries so the next chunk resumes exactly:
+            # h_s/e_s are already the NEXT step's frontend; hstate rows hold
+            # each layer's last-step h (the d == 1 taps).
+            @pl.when(t == pl.num_programs(0) - 1)
+            def _export():
+                hstate_out[:] = hstate[:]
+                hs_out[:] = h_s[:]
+                es_out[:] = e_s[:]
+
     return kernel
+
+
+def mega_zero_carry(arch: ArchConfig, h0, e0):
+    """Initial streaming carry (feature-major), equivalent to one-shot
+    start: empty rings, zero staged pairs, frontend from the zero class."""
+    b, c = h0.shape
+    L = len(arch.dilations)
+    return {
+        "bufs": jnp.zeros((sum(arch.dilations) * c, b), jnp.float32),
+        "hstate": jnp.zeros((L * 2 * c, b), jnp.float32),
+        "h_s": jnp.swapaxes(h0, 0, 1).astype(jnp.float32),
+        "e_s": jnp.swapaxes(e0, 0, 1).astype(jnp.float32),
+    }
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("arch", "n_samples", "temperature", "has_cond",
-                     "interpret", "emit_logits", "vmem_dmax"),
+                     "interpret", "emit_logits", "vmem_dmax", "streaming"),
 )
 def mega_generate(
     params: dict,
@@ -273,9 +318,15 @@ def mega_generate(
     interpret: bool = False,
     emit_logits: bool = False,
     vmem_dmax: int = 1,
+    streaming: bool = False,
+    carry: Optional[dict] = None,  # mega_zero_carry-shaped (streaming only)
+    t0: Optional[jnp.ndarray] = None,  # () int32 absolute chunk start
 ):
     """Run the whole generation loop; returns classes (T, 1, B) int32
     (plus logits (T, Q, B) when emit_logits — the correctness-test hook).
+    With streaming=True, also returns the carry for the next chunk: ring
+    slots and the sampling-seed chain use the ABSOLUTE time t0 + t, so
+    chunked output continues the one-shot sequence exactly.
 
     All operands are transposed to feature-major here (a few trace-time
     transposes on tiny arrays); callers keep the batch-major convention.
@@ -311,7 +362,13 @@ def mega_generate(
 
     # (L, 2G, 2C): current tap columns first, dilated tap columns second.
     wcat = tr(jnp.concatenate([lp["w_cur"], lp["w_prev"]], axis=1))
-    bufs = jnp.zeros((sum(arch.dilations) * c, b), buf_dtype)
+    if streaming:
+        bufs = carry["bufs"]
+        h_in, e_in = carry["h_s"], carry["e_s"]
+    else:
+        bufs = jnp.zeros((sum(arch.dilations) * c, b), buf_dtype)
+        h_in, e_in = tr(h0), tr(e0)
+        t0 = jnp.int32(0)
 
     def whole(shape):
         return pl.BlockSpec(
@@ -336,7 +393,7 @@ def mega_generate(
                      memory_space=pltpu.VMEM),        # forced
     ]
     args = [
-        tr(h0), tr(e0), bufs,
+        h_in, e_in, bufs,
         wcast(wcat), lp["b"][:, :, None],
         wcast(tr(lp["w_res"])), lp["b_res"][:, :, None],
         wcast(tr(lp["w_skip"])), lp["b_skip"][:, :, None],
@@ -347,6 +404,9 @@ def mega_generate(
         params["input_conv"]["b"][:, None],
         forced_ts,
     ]
+    if streaming:
+        in_specs.append(whole((L * 2 * c, b)))   # hstate carry-in
+        args.append(carry["hstate"])
     if has_cond:
         cc = lp["w_cond"].shape[1]
         in_specs += [
@@ -367,6 +427,7 @@ def mega_generate(
     kernel = _make_mega_kernel(
         arch, temperature, has_cond, use_hw_prng=not interpret,
         buf_dtype=buf_dtype, emit_logits=emit_logits, vmem_dmax=vmem_dmax,
+        streaming=streaming,
     )
     vring_scratch = (
         [pltpu.VMEM((vrows * c, b), buf_dtype)] if vrows > 0 else []
@@ -383,7 +444,9 @@ def mega_generate(
                 pl.BlockSpec((1, 1, b), lambda t, seed: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + ([pl.BlockSpec((1, q, b), lambda t, seed: (t, 0, 0),
-                               memory_space=pltpu.VMEM)] if emit_logits else []),
+                               memory_space=pltpu.VMEM)] if emit_logits else [])
+              + ([whole((L * 2 * c, b)), whole((c, b)), whole((c, b))]
+                 if streaming else []),
             scratch_shapes=[
                 pltpu.VMEM((c, b), jnp.float32),        # h_s
                 pltpu.VMEM((c, b), jnp.float32),        # e_s
@@ -397,9 +460,23 @@ def mega_generate(
             jax.ShapeDtypeStruct(bufs.shape, buf_dtype),
             jax.ShapeDtypeStruct((n_samples, 1, b), jnp.int32),
         ] + ([jax.ShapeDtypeStruct((n_samples, q, b), jnp.float32)]
-             if emit_logits else []),
+             if emit_logits else [])
+          + ([jax.ShapeDtypeStruct((L * 2 * c, b), buf_dtype),
+              jax.ShapeDtypeStruct((c, b), jnp.float32),
+              jax.ShapeDtypeStruct((c, b), jnp.float32)]
+             if streaming else []),
         # operands: seed(0), h0(1), e0(2), bufs(3), ... -> alias bufs.
-        input_output_aliases={3: 0},
+        # Streaming also aliases the carries (hstate operand 19 right after
+        # forced(18); h/e via operands 1/2) to their outputs — zero-copy
+        # chunk transitions.
+        input_output_aliases=(
+            {3: 0} if not streaming else {
+                3: 0,
+                19: 2 + (1 if emit_logits else 0),
+                1: 3 + (1 if emit_logits else 0),
+                2: 4 + (1 if emit_logits else 0),
+            }
+        ),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # The default scoped-VMEM cap (16 MB) is below what v5e offers;
@@ -408,7 +485,19 @@ def mega_generate(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(seed_base[None], *args)
+    )(jnp.stack([seed_base.astype(jnp.int32), t0.astype(jnp.int32)]), *args)
+    if streaming:
+        if emit_logits:
+            bufs_out, classes, logits, hstate_o, hs_o, es_o = out
+        else:
+            bufs_out, classes, hstate_o, hs_o, es_o = out
+            logits = None
+        new_carry = {
+            "bufs": bufs_out, "hstate": hstate_o, "h_s": hs_o, "e_s": es_o,
+        }
+        if emit_logits:
+            return classes, logits, new_carry
+        return classes, new_carry
     if emit_logits:
         _, classes, logits = out
         return classes, logits

@@ -190,3 +190,46 @@ def test_streaming_conditioned_chunks_bit_match_one_shot():
     with pytest.raises(ValueError, match="exactly this chunk"):
         stream_chunk(params, arch, stream, chunk, cond=cond_full,
                      speaker_ids=spk)
+
+
+def test_mega_streaming_bit_matches_one_shot():
+    """Mega-engine streaming: chunked whole-loop kernel calls (carried ring
+    buffer, staged pairs, frontend; absolute-time slot/seed chains)
+    bit-match the one-shot mega run — greedy-primed AND sampled."""
+    from lb_wavenet_tpu.generate import (
+        generate_classes,
+        start_stream,
+        stream_chunk,
+    )
+
+    params = init_params(jax.random.key(0), MICRO)
+    total, chunk = 24, 6
+    forced_full = jnp.concatenate(
+        [
+            jax.random.randint(jax.random.key(6), (2, 8), 0, 256),
+            jnp.full((2, total - 8), -1, jnp.int32),
+        ],
+        axis=1,
+    )
+    for temp, forced in ((0.0, forced_full), (1.0, None)):
+        rng = jax.random.key(21)
+        one_shot = generate_classes(
+            params, MICRO, rng, 2, total, forced=forced,
+            temperature=temp, engine="mega",
+        )
+        stream = start_stream(MICRO, 2, rng, engine="mega", params=params)
+        parts = []
+        for i in range(total // chunk):
+            f = (
+                forced[:, i * chunk : (i + 1) * chunk]
+                if forced is not None else None
+            )
+            cls, stream = stream_chunk(
+                params, MICRO, stream, chunk, forced=f,
+                temperature=temp, engine="mega",
+            )
+            parts.append(np.asarray(cls))
+        np.testing.assert_array_equal(
+            np.concatenate(parts, axis=1), np.asarray(one_shot),
+            err_msg=f"temperature={temp}",
+        )
