@@ -158,18 +158,19 @@ def cmd_generate(args) -> int:
             )
         from .generate import mu_law_decode, start_stream, stream_chunk
 
-        # Streaming engines carry state between chunks: xla or pallas.
-        # Downgrade the one-shot fused engines to pallas, loudly.
+        # Streaming engines: mega (fastest; batch % 128 == 0), pallas, xla.
         eng = cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "xla")
-        if eng not in ("xla", "pallas"):
+        if eng == "turbo" or (eng == "mega" and cfg.gen.batch_size % 128):
+            fallback = "pallas"
             if jax.process_index() == 0:
                 print(json.dumps({
-                    "notice": f"engine {eng!r} is one-shot only; streaming "
-                              "with 'pallas' instead",
+                    "notice": f"engine {eng!r} cannot stream at batch "
+                              f"{cfg.gen.batch_size}; using {fallback!r}",
                 }), flush=True)
-            eng = "pallas"
+            eng = fallback
         stream = start_stream(
-            cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed)
+            cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
+            engine=eng, params=params,
         )
         parts = []
         emitted = 0

@@ -107,3 +107,44 @@ def test_cli_generate_streaming(tmp_path):
                 if l.startswith("{") and "streamed_samples" in l]
     assert [p["streamed_samples"] for p in progress] == [16, 32, 48]
     assert sorted(os.listdir(outdir)) == ["gen_0000.wav", "gen_0001.wav"]
+
+
+def test_cli_generate_streaming_mega(tmp_path):
+    """--stream-chunk with gen.engine=mega streams via the whole-chunk
+    kernel (batch % 128 == 0)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 150 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=2",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8", "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt, outdir = tmp_path / "ck", tmp_path / "out"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    r = _run(
+        ["generate", *tiny, "--stream-chunk", "8",
+         "--set", 'gen.engine="mega"',
+         "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=128",
+         "--set", "gen.n_samples=16", "--set", f'gen.out_dir="{outdir}"'],
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "notice" not in r.stdout  # no fallback: mega really streamed
+    assert len(os.listdir(outdir)) == 128
