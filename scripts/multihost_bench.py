@@ -129,7 +129,10 @@ def main() -> int:
                 params, arch, jax.random.key(key), b, args.gen_samples,
                 engine=engine,
             )
-            return np.asarray(out)
+            # Sync on a scalar reduction — fetching the full (B, T) class
+            # array is a D2H cost that scales with T and pollutes timing
+            # (the bench.py artifact; see docs/kernels.md).
+            return int(np.asarray(out.astype(np.int64).sum()))
 
         run(0)  # compile
         t0 = time.perf_counter()
