@@ -55,6 +55,7 @@ def _fwd_kernel(
     cond_ref, wcond_ref,           # (1,T,Cc) (1,Cc,2G) or None
     z_ref,                         # out (1,1,T,G)
     skip_ref,                      # out (1,T,S)
+    xfin_ref,                      # out (1,T,C): final residual stream
     x_s, skip_s, stage_s,          # scratch (T,C) (T,S) (T+maxd,2G)
     *,
     compute_dtype,
@@ -87,7 +88,11 @@ def _fwd_kernel(
         pre = pre + mm(cond_ref[0], wcond_ref[0])
     g = pre.shape[-1] // 2
     z = jnp.tanh(pre[:, :g]) * jax.nn.sigmoid(pre[:, g:])
-    z_ref[0, 0] = z
+    # z is saved in COMPUTE dtype: every backward consumer (x
+    # reconstruction, dwr/dws contractions) casts z to compute_dtype inside
+    # its matmul anyway, so bf16 storage is bit-neutral for bf16 archs and
+    # halves the largest HBM tensor of the training step.
+    z_ref[0, 0] = z.astype(z_ref.dtype)
     x_s[:] = x + mm(z, wr_ref[0]) + br_ref[0, 0]
     contrib = mm(z, ws_ref[0]) + bs_ref[0, 0]
 
@@ -102,6 +107,11 @@ def _fwd_kernel(
     @pl.when(l == n_layers - 1)
     def _():
         skip_ref[0] = skip_s[:]
+        # Final residual stream — the backward pass reconstructs layer
+        # inputs from it; emitting it here (T*C write) replaces an XLA
+        # einsum over the ENTIRE z_all tensor (L*T*G read, ~30x more HBM
+        # traffic at wavenet30).
+        xfin_ref[0] = x_s[:]
 
 
 def _bwd_kernel(
@@ -326,14 +336,14 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret):
         )
     else:
         def kernel(dils_r, h0_r, wc, wp, bb, wr, br, ws, bs, z_r, skip_r,
-                   x_s, skip_s, stage_s):
+                   xfin_r, x_s, skip_s, stage_s):
             return _fwd_kernel(
                 dils_r, h0_r, wc, wp, bb, wr, br, ws, bs, None, None,
-                z_r, skip_r, x_s, skip_s, stage_s,
+                z_r, skip_r, xfin_r, x_s, skip_s, stage_s,
                 compute_dtype=dt, n_layers=L, max_d=max_d,
             )
 
-    z_all, skip = pl.pallas_call(
+    z_all, skip, x_final = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -346,6 +356,7 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret):
                     memory_space=pltpu.VMEM,
                 ),
                 _row((t_dim, s)),
+                _row((t_dim, c)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((t_dim, c), jnp.float32),
@@ -354,13 +365,14 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, L, t_dim, gch), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, L, t_dim, gch), dt),
             jax.ShapeDtypeStruct((bsz, t_dim, s), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, t_dim, c), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(dils, *args)
-    return z_all, skip
+    return z_all, skip, x_final
 
 
 def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
@@ -495,22 +507,19 @@ def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False):
 
     @jax.custom_vjp
     def fused(lp, h0, cond):
-        _, skip = _fwd_call(lp, arch, h0, cond if has_cond else None, interpret)
+        _, skip, _ = _fwd_call(
+            lp, arch, h0, cond if has_cond else None, interpret
+        )
         return skip
 
     def fwd(lp, h0, cond):
-        z_all, skip = _fwd_call(
+        # x_final comes straight from the kernel's VMEM residual stream —
+        # a (B, T, C) write. (It was previously reconstructed with an XLA
+        # einsum over the whole (B, L, T, G) z_all tensor: an extra L*G/C
+        # ~ 30x HBM read per step, measured ~7% of the train step.)
+        z_all, skip, x_final = _fwd_call(
             lp, arch, h0, cond if has_cond else None, interpret
         )
-        # Reconstruct x_final in XLA (cheap: L small matmuls batched as one
-        # einsum) — saves the kernel an extra output.
-        dtc = jnp.dtype(arch.compute_dtype)
-        x_final = h0 + jnp.einsum(
-            "bltg,lgc->btc",
-            z_all.astype(dtc),
-            lp["w_res"].astype(dtc),
-            preferred_element_type=jnp.float32,
-        ) + jnp.sum(lp["b_res"], axis=0)
         return skip, (lp, h0, cond, z_all, x_final)
 
     def bwd(res, g_skip):
