@@ -1,4 +1,4 @@
-"""Command-line entry points: `wavenet train` / `wavenet generate`.
+"""Command-line entry points: `wavenet train` / `generate` / `eval`.
 
 Reference parity: the reference shipped `train.py` and `generate.py` argparse
 CLIs driven by JSON architecture files (SURVEY.md §2.1 "CLI entry points",
@@ -102,7 +102,9 @@ def cmd_generate(args) -> int:
     from .utils.checkpoint import restore_params
 
     template = init_state(jax.random.key(0), cfg.arch, cfg.train)
-    params = restore_params(cfg.gen.checkpoint_dir, template)
+    params = restore_params(
+        cfg.gen.checkpoint_dir, template, prefer_ema=args.ema
+    )
 
     cond_frames = None
     if cfg.arch.use_local_cond:
@@ -229,6 +231,38 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Held-out teacher-forced evaluation (eval.py) from a checkpoint."""
+    cfg = _load_config(args)
+    _maybe_init_distributed(args)
+    import jax
+
+    from .data import Corpus
+    from .eval import evaluate
+    from .train import init_state
+    from .utils.checkpoint import restore_params
+
+    template = init_state(jax.random.key(0), cfg.arch, cfg.train)
+    params = restore_params(
+        cfg.gen.checkpoint_dir, template, prefer_ema=args.ema
+    )
+    data_dir = args.data_dir or cfg.train.eval_dir or cfg.train.data_dir
+    if not data_dir:
+        raise SystemExit("eval needs --data-dir or train.eval_dir/data_dir")
+    corpus = Corpus.from_dir(data_dir, cfg.arch, cfg.train.window_size)
+    batch = cfg.train.eval_batch_size or cfg.train.batch_size
+    metrics = evaluate(
+        params,
+        cfg.arch,
+        corpus,
+        batch,
+        max_batches=cfg.train.eval_batches,
+    )
+    if jax.process_index() == 0:
+        print(json.dumps(metrics))
+    return 0
+
+
 def main(argv=None) -> int:
     # This image's sitecustomize force-selects the axon TPU platform
     # programmatically (env JAX_PLATFORMS is overridden); WAVENET_PLATFORM
@@ -250,6 +284,11 @@ def main(argv=None) -> int:
     _add_common(p_train)
     p_gen = sub.add_parser("generate", help="batched AR synthesis")
     _add_common(p_gen)
+    p_gen.add_argument(
+        "--ema",
+        action="store_true",
+        help="restore the EMA params from the checkpoint (ema_decay runs)",
+    )
     p_gen.add_argument("--mel", default="", help=".npy mel frames (B, F, n_mels)")
     p_gen.add_argument(
         "--prime",
@@ -270,8 +309,24 @@ def main(argv=None) -> int:
         help="emit audio incrementally in chunks of this many samples "
         "(streaming session; chunked output bit-matches one-shot)",
     )
+    p_eval = sub.add_parser(
+        "eval", help="held-out teacher-forced metrics from a checkpoint"
+    )
+    _add_common(p_eval)
+    p_eval.add_argument(
+        "--data-dir",
+        default="",
+        help="wav dir to evaluate (default: train.eval_dir or data_dir)",
+    )
+    p_eval.add_argument(
+        "--ema",
+        action="store_true",
+        help="evaluate the EMA params from the checkpoint",
+    )
     args = parser.parse_args(argv)
-    return {"train": cmd_train, "generate": cmd_generate}[args.cmd](args)
+    return {"train": cmd_train, "generate": cmd_generate, "eval": cmd_eval}[
+        args.cmd
+    ](args)
 
 
 if __name__ == "__main__":

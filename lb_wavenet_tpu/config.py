@@ -81,6 +81,17 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     grad_clip_norm: float = 0.0       # 0 disables clipping
+    # LR schedule: "constant" | "cosine" | "linear" | "exponential".
+    # Warmup is linear from 0 over warmup_steps; decay runs over decay_steps
+    # (0 -> n_steps - warmup_steps) down to learning_rate * lr_min_ratio.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 0
+    lr_min_ratio: float = 0.0
+    # Exponential moving average of params (0 disables). When on, the train
+    # state carries an EMA copy updated each step; generation can restore it
+    # (restore_params(..., prefer_ema=True) / `wavenet generate --ema`).
+    ema_decay: float = 0.0
     n_steps: int = 10000
     log_every: int = 50
     checkpoint_every: int = 1000
@@ -91,6 +102,13 @@ class TrainConfig:
     tensorboard_dir: str = ""         # optional TB event stream ("" → off)
     mesh_data: int = -1               # -1: all devices on the data axis
     mesh_model: int = 1
+    # Held-out evaluation (eval.py). eval_every = 0 disables in-training
+    # eval; eval_batches = 0 sweeps the full eval corpus; eval_batch_size = 0
+    # reuses batch_size.
+    eval_dir: str = ""
+    eval_every: int = 0
+    eval_batch_size: int = 0
+    eval_batches: int = 0
     lane_continuous: bool = False     # reference-style virtual-batch lanes
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
     fused_stack: bool = False         # fused Pallas training-stack kernel

@@ -34,10 +34,71 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray  # int32 scalar
+    # EMA copy of params (TrainConfig.ema_decay > 0), else an empty tuple.
+    ema: Any = ()
+
+
+def make_lr_schedule(train: TrainConfig) -> optax.Schedule:
+    """LR schedule from config: linear warmup + constant/cosine/linear/exp.
+
+    decay_steps = 0 means "decay over the post-warmup remainder of the run";
+    the floor is learning_rate * lr_min_ratio. `lr_at` below is the pure-
+    Python mirror used for host-side logging (equality is tested).
+    """
+    base = train.learning_rate
+    warm = max(train.warmup_steps, 0)
+    decay = train.decay_steps or max(train.n_steps - warm, 1)
+    kind = train.lr_schedule
+    if kind == "constant":
+        main = optax.constant_schedule(base)
+    elif kind == "cosine":
+        main = optax.cosine_decay_schedule(base, decay, alpha=train.lr_min_ratio)
+    elif kind == "linear":
+        main = optax.linear_schedule(base, base * train.lr_min_ratio, decay)
+    elif kind == "exponential":
+        ratio = train.lr_min_ratio if train.lr_min_ratio > 0 else 0.01
+        main = optax.exponential_decay(base, decay, decay_rate=ratio)
+    else:
+        raise ValueError(f"Unknown lr_schedule {kind!r}")
+    if warm > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, base, warm), main], [warm]
+        )
+    return main
+
+
+def lr_at(train: TrainConfig, step: int) -> float:
+    """Pure-Python mirror of make_lr_schedule for metrics logging."""
+    import math
+
+    base = train.learning_rate
+    warm = max(train.warmup_steps, 0)
+    decay = train.decay_steps or max(train.n_steps - warm, 1)
+    if step < warm:
+        return base * step / warm
+    s = step - warm
+    sc = min(s, decay)
+    kind = train.lr_schedule
+    if kind == "constant":
+        return base
+    if kind == "cosine":
+        a = train.lr_min_ratio
+        return base * ((1 - a) * 0.5 * (1 + math.cos(math.pi * sc / decay)) + a)
+    if kind == "linear":
+        end = base * train.lr_min_ratio
+        return base + (end - base) * sc / decay
+    if kind == "exponential":
+        ratio = train.lr_min_ratio if train.lr_min_ratio > 0 else 0.01
+        return base * ratio ** (s / decay)
+    raise ValueError(f"Unknown lr_schedule {kind!r}")
 
 
 def make_optimizer(train: TrainConfig) -> optax.GradientTransformation:
-    tx = optax.adam(train.learning_rate, b1=train.adam_b1, b2=train.adam_b2)
+    # Always pass the schedule callable (even for constant LR) so the
+    # opt_state pytree structure does not depend on the schedule kind.
+    tx = optax.adam(
+        make_lr_schedule(train), b1=train.adam_b1, b2=train.adam_b2
+    )
     if train.grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(train.grad_clip_norm), tx)
     return tx
@@ -46,7 +107,14 @@ def make_optimizer(train: TrainConfig) -> optax.GradientTransformation:
 def init_state(rng, arch: ArchConfig, train: TrainConfig) -> TrainState:
     params = init_params(rng, arch)
     opt_state = make_optimizer(train).init(params)
-    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    # EMA starts as a (distinct-buffer) copy of params: unbiased without a
+    # debiasing term, and never aliases the donated params buffers.
+    ema = (
+        jax.tree_util.tree_map(jnp.copy, params)
+        if train.ema_decay > 0
+        else ()
+    )
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema)
 
 
 def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
@@ -129,7 +197,14 @@ def train_step(
         grads, state.opt_state, state.params
     )
     params = optax.apply_updates(state.params, updates)
-    return TrainState(params, opt_state, state.step + 1), loss
+    if train.ema_decay > 0:
+        d = train.ema_decay
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), state.ema, params
+        )
+    else:
+        ema = state.ema
+    return TrainState(params, opt_state, state.step + 1, ema), loss
 
 
 def batch_to_device(batch: Batch, mesh, arch: ArchConfig) -> dict:
@@ -149,6 +224,7 @@ def run_training(
     config: Config,
     corpus: Optional[Corpus] = None,
     n_steps: Optional[int] = None,
+    eval_corpus: Optional[Corpus] = None,
 ) -> TrainState:
     """Full training run: data, mesh, resume, loop, checkpoints, metrics."""
     arch, train = config.arch, config.train
@@ -156,6 +232,8 @@ def run_training(
 
     if corpus is None:
         corpus = Corpus.from_dir(train.data_dir, arch, train.window_size)
+    if eval_corpus is None and train.eval_dir:
+        eval_corpus = Corpus.from_dir(train.eval_dir, arch, train.window_size)
 
     host_id = jax.process_index()
     host_count = jax.process_count()
@@ -196,9 +274,32 @@ def run_training(
             metrics.log(
                 step=i + 1,
                 loss=loss_v,
+                lr=lr_at(train, i + 1),
                 samples_per_sec=samples_per_step * n_logged / dt,
                 step_time_ms=1000.0 * dt / n_logged,
             )
+        if eval_corpus is not None and train.eval_every > 0 and (
+            (i + 1) % train.eval_every == 0 or i + 1 == total
+        ):
+            from .eval import evaluate
+
+            eval_batch = train.eval_batch_size or train.batch_size
+            ev = evaluate(
+                state.params, arch, eval_corpus, eval_batch,
+                mesh=mesh, max_batches=train.eval_batches,
+            )
+            record = {f"eval_{k}": v for k, v in ev.items()}
+            if train.ema_decay > 0:
+                ev_ema = evaluate(
+                    state.ema, arch, eval_corpus, eval_batch,
+                    mesh=mesh, max_batches=train.eval_batches,
+                )
+                record.update(
+                    eval_ema_nll=ev_ema["nll"],
+                    eval_ema_accuracy=ev_ema["accuracy"],
+                )
+            metrics.log(step=i + 1, **record)
+            t_last = time.perf_counter()  # exclude eval from step timing
         if (i + 1) % train.checkpoint_every == 0 or i + 1 == total:
             # Cross-host divergence guard before persisting (SURVEY.md §5).
             multihost.assert_replicated_params(state.params, i + 1)

@@ -55,8 +55,14 @@ def restore_if_available(
     return restored, latest
 
 
-def restore_params(directory: str, state_template) -> Any:
-    """Generation path: load the latest training state, return params only."""
+def restore_params(
+    directory: str, state_template, prefer_ema: bool = False
+) -> Any:
+    """Generation path: load the latest training state, return params only.
+
+    prefer_ema returns the EMA copy of the params (TrainConfig.ema_decay > 0
+    runs carry one in the state); it is an error if the checkpoint has none.
+    """
     manager = make_manager(directory)
     latest = manager.latest_step()
     if latest is None:
@@ -64,4 +70,17 @@ def restore_params(directory: str, state_template) -> Any:
     restored = manager.restore(
         latest, args=ocp.args.StandardRestore(_abstract_like(state_template))
     )
-    return restored.params if hasattr(restored, "params") else restored["params"]
+    get = (
+        (lambda k: getattr(restored, k))
+        if hasattr(restored, "params")
+        else restored.__getitem__
+    )
+    if prefer_ema:
+        ema = get("ema")
+        if not ema:
+            raise ValueError(
+                f"Checkpoint under {directory} carries no EMA params "
+                "(train with train.ema_decay > 0)"
+            )
+        return ema
+    return get("params")

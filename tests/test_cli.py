@@ -68,6 +68,48 @@ def test_cli_train_generate_roundtrip(tmp_path):
     assert sorted(os.listdir(outdir)) == ["gen_0000.wav", "gen_0001.wav"]
 
 
+def test_cli_eval(tmp_path):
+    """`wavenet eval`: held-out metrics from a trained checkpoint."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 150 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8", "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt = tmp_path / "ck"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    r = _run(
+        ["eval", *tiny, "--data-dir", str(data),
+         "--set", f'gen.checkpoint_dir="{ckpt}"',
+         "--set", "train.batch_size=2", "--set", "train.window_size=64"],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert np.isfinite(rec["nll"]) and rec["n_samples"] > 0
+    assert rec["bits_per_sample"] <= 8.5  # near-uniform softmax after 2 steps
+
+
 def test_cli_generate_streaming(tmp_path):
     """--stream-chunk: incremental emission; output files + progress lines."""
     import numpy as np
