@@ -110,6 +110,12 @@ class TrainConfig:
     eval_batch_size: int = 0
     eval_batches: int = 0
     lane_continuous: bool = False     # reference-style virtual-batch lanes
+    # Sequence-parallel training (parallel/halo.py): the mesh's `data` axis
+    # shards the TIME dimension of each window (batch replicated) with a
+    # recompute-with-halo exchange of R-1 boundary samples — for windows too
+    # long for one chip's activation memory. Unconditioned archs, XLA
+    # forward, single process (multi-device) for now.
+    seq_parallel: bool = False
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
     fused_stack: bool = False         # fused Pallas training-stack kernel
 

@@ -61,6 +61,22 @@ def _sp_local_logits(params, x_local, *, arch: ArchConfig, axis_name: str):
     return logits_ext[:, halo:]
 
 
+def _check_chunking(arch: ArchConfig, t: int, mesh: Mesh, axis_name: str):
+    """The single-neighbor exchange needs each chunk to cover the halo."""
+    n = mesh.shape[axis_name]
+    if t % n:
+        raise ValueError(
+            f"sequence length {t} must divide across {n} '{axis_name}' shards"
+        )
+    halo = arch.receptive_field - 1
+    if t // n < halo:
+        raise ValueError(
+            f"per-shard chunk {t // n} < halo {halo} (= receptive_field - 1):"
+            f" a chunk must cover the halo it sends to its right neighbor —"
+            f" use longer sequences or fewer shards"
+        )
+
+
 def sequence_parallel_logits(
     params,
     arch: ArchConfig,
@@ -74,6 +90,7 @@ def sequence_parallel_logits(
     both input and output is sharded. Equivalent to `forward(params, arch, x)`
     up to float associativity (exact in fp32 tests).
     """
+    _check_chunking(arch, x.shape[1], mesh, axis_name)
     fn = shard_map(
         functools.partial(_sp_local_logits, arch=arch, axis_name=axis_name),
         mesh=mesh,
@@ -99,6 +116,7 @@ def sequence_parallel_loss(
     exclude positions without full receptive field — the natural formulation
     when one utterance spans the whole mesh axis.
     """
+    _check_chunking(arch, x.shape[1], mesh, axis_name)
 
     def local(params, x_l, tgt_l, m_l):
         logits = _sp_local_logits(params, x_l, arch=arch, axis_name=axis_name)

@@ -183,16 +183,10 @@ def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
     return post_network(params, skip_sum, dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("arch", "train"), donate_argnums=(0,)
-)
-def train_step(
-    state: TrainState, batch: dict, arch: ArchConfig, train: TrainConfig
-):
-    loss, grads = jax.value_and_grad(loss_fn)(
-        state.params, arch, train.window_size, batch, train.remat,
-        train.fused_stack,
-    )
+def _apply_updates(
+    state: TrainState, grads, train: TrainConfig
+) -> TrainState:
+    """Optimizer + EMA + step bump, shared by the windowed and SP steps."""
     updates, opt_state = make_optimizer(train).update(
         grads, state.opt_state, state.params
     )
@@ -204,7 +198,72 @@ def train_step(
         )
     else:
         ema = state.ema
-    return TrainState(params, opt_state, state.step + 1, ema), loss
+    return TrainState(params, opt_state, state.step + 1, ema)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("arch", "train"), donate_argnums=(0,)
+)
+def train_step(
+    state: TrainState, batch: dict, arch: ArchConfig, train: TrainConfig
+):
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, arch, train.window_size, batch, train.remat,
+        train.fused_stack,
+    )
+    return _apply_updates(state, grads, train), loss
+
+
+def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
+    """Sequence-parallel train step: mesh's `data` axis shards TIME.
+
+    The loss is parallel/halo.py's recompute-with-halo formulation; batches
+    come from seq_batch_to_device (windowed targets/mask expanded over the
+    full input length). Numerically equivalent to the windowed train_step
+    (tested in tests/test_halo.py).
+    """
+    from .parallel.halo import sequence_parallel_loss
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: dict):
+        def lf(params):
+            return sequence_parallel_loss(
+                params, arch, batch["inputs"], batch["targets"],
+                batch["mask"], mesh,
+            )
+
+        loss, grads = jax.value_and_grad(lf)(state.params)
+        return _apply_updates(state, grads, train), loss
+
+    return step
+
+
+def seq_batch_to_device(batch: Batch, mesh, window_size: int) -> dict:
+    """Time-sharded placement for sequence-parallel training.
+
+    Expands the windowed (targets, mask) over the full input length — only
+    the last `window_size` positions train, exactly as masked_loss scores
+    them — and zero-pads time up to a multiple of the seq-axis size (padded
+    positions are later in time, hence causally inert, and zero-masked).
+    """
+    from .parallel.mesh import DATA_AXIS
+
+    n = mesh.shape[DATA_AXIS]
+    inputs = np.asarray(batch.inputs)
+    b, t = inputs.shape
+    tp = -(-t // n) * n
+    inp = np.zeros((b, tp), inputs.dtype)
+    inp[:, :t] = inputs
+    tgt = np.zeros((b, tp), np.int32)
+    tgt[:, t - window_size : t] = batch.targets
+    msk = np.zeros((b, tp), np.float32)
+    msk[:, t - window_size : t] = batch.mask
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return {
+        "inputs": jax.device_put(inp, sharding),
+        "targets": jax.device_put(tgt, sharding),
+        "mask": jax.device_put(msk, sharding),
+    }
 
 
 def batch_to_device(batch: Batch, mesh, arch: ArchConfig) -> dict:
@@ -238,6 +297,23 @@ def run_training(
     host_id = jax.process_index()
     host_count = jax.process_count()
 
+    sp_step = None
+    if train.seq_parallel:
+        if arch.use_local_cond or arch.use_global_cond:
+            raise ValueError(
+                "seq_parallel supports unconditioned archs only (the halo "
+                "exchange does not carry conditioning streams yet)"
+            )
+        if train.fused_stack:
+            raise ValueError(
+                "seq_parallel uses the XLA forward; set fused_stack=false"
+            )
+        if host_count > 1:
+            raise NotImplementedError(
+                "seq_parallel is single-process (multi-device) for now"
+            )
+        sp_step = make_sp_train_step(mesh, arch, train)
+
     state = init_state(jax.random.key(train.seed), arch, train)
     state = shard_params(state, mesh)
     manager = ckpt_lib.make_manager(train.checkpoint_dir)
@@ -263,8 +339,14 @@ def run_training(
     t_last = time.perf_counter()
     samples_per_step = train.batch_size * train.window_size
     for i in range(start_step, total):
-        batch = batch_to_device(next(batches), mesh, arch)
-        state, loss = train_step(state, batch, arch, train)
+        if sp_step is not None:
+            batch = seq_batch_to_device(
+                next(batches), mesh, train.window_size
+            )
+            state, loss = sp_step(state, batch)
+        else:
+            batch = batch_to_device(next(batches), mesh, arch)
+            state, loss = train_step(state, batch, arch, train)
         if (i + 1) % train.log_every == 0 or i + 1 == total:
             loss_v = float(loss)  # sync point
             now = time.perf_counter()
@@ -284,15 +366,17 @@ def run_training(
             from .eval import evaluate
 
             eval_batch = train.eval_batch_size or train.batch_size
+            # SP mode's mesh shards time, not batch; let eval pick its own.
+            eval_mesh = None if train.seq_parallel else mesh
             ev = evaluate(
                 state.params, arch, eval_corpus, eval_batch,
-                mesh=mesh, max_batches=train.eval_batches,
+                mesh=eval_mesh, max_batches=train.eval_batches,
             )
             record = {f"eval_{k}": v for k, v in ev.items()}
             if train.ema_decay > 0:
                 ev_ema = evaluate(
                     state.ema, arch, eval_corpus, eval_batch,
-                    mesh=mesh, max_batches=train.eval_batches,
+                    mesh=eval_mesh, max_batches=train.eval_batches,
                 )
                 record.update(
                     eval_ema_nll=ev_ema["nll"],

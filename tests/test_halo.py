@@ -66,3 +66,121 @@ def test_sp_loss_and_grads_match_unsharded():
         g_ref,
         g_sp,
     )
+
+
+def test_sp_rejects_short_chunks():
+    """Chunks shorter than the halo cannot feed the neighbor exchange."""
+    params, _, mesh = _setup()
+    short = jax.random.randint(jax.random.key(3), (B, 32), 0, 256)  # 8/shard
+    with pytest.raises(ValueError, match="halo"):
+        sequence_parallel_logits(params, MICRO, short, mesh)
+    uneven = jax.random.randint(jax.random.key(3), (B, 130), 0, 256)
+    with pytest.raises(ValueError, match="divide"):
+        sequence_parallel_logits(params, MICRO, uneven, mesh)
+
+
+# ---- Trainer integration (TrainConfig.seq_parallel) ----
+
+
+def test_sp_train_step_matches_windowed_step():
+    """One config-driven SP step == one windowed step (same init, batch).
+
+    window chosen so T = R-1+W is NOT divisible by the 4 time shards —
+    exercising seq_batch_to_device's causally-inert zero padding.
+    """
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.data import make_batches, synthetic_corpus
+    from lb_wavenet_tpu.parallel.mesh import shard_params
+    from lb_wavenet_tpu.train import (
+        batch_to_device,
+        init_state,
+        make_sp_train_step,
+        seq_batch_to_device,
+        train_step,
+    )
+
+    window = 47  # T = 15 + 47 = 62 -> padded to 64; 16-sample chunks >= halo 15
+    train = TrainConfig(
+        batch_size=2, window_size=window, learning_rate=1e-3,
+        mesh_data=4, seq_parallel=True,
+    )
+    corpus = synthetic_corpus(MICRO, window, n_files=2, file_len=300)
+    batch = next(make_batches(corpus, train))
+
+    mesh_sp = make_mesh(4, 1, devices=jax.devices()[:4])
+    mesh_1 = make_mesh(1, 1, devices=jax.devices()[:1])
+
+    s_sp = shard_params(init_state(jax.random.key(0), MICRO, train), mesh_sp)
+    s_ref = shard_params(init_state(jax.random.key(0), MICRO, train), mesh_1)
+
+    sp_step = make_sp_train_step(mesh_sp, MICRO, train)
+    s_sp, loss_sp = sp_step(
+        s_sp, seq_batch_to_device(batch, mesh_sp, window)
+    )
+    s_ref, loss_ref = train_step(
+        s_ref, batch_to_device(batch, mesh_1, MICRO), MICRO, train
+    )
+    assert np.allclose(float(loss_sp), float(loss_ref), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        ),
+        s_sp.params,
+        s_ref.params,
+    )
+
+
+def test_sp_run_training_end_to_end(tmp_path):
+    from lb_wavenet_tpu.config import Config
+    from lb_wavenet_tpu.data import synthetic_corpus
+    from lb_wavenet_tpu.train import run_training
+
+    cfg = Config.from_dict(
+        {
+            "arch": {
+                "n_blocks": 2, "n_layers_per_block": 3,
+                "residual_channels": 8, "skip_channels": 8,
+                "gate_channels": 8, "compute_dtype": "float32",
+            },
+            "train": {
+                "batch_size": 2, "window_size": 48, "n_steps": 3,
+                "mesh_data": 4, "seq_parallel": True, "log_every": 1,
+                "checkpoint_every": 3,
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+            },
+        }
+    )
+    corpus = synthetic_corpus(cfg.arch, 48, n_files=2, file_len=300)
+    state = run_training(cfg, corpus=corpus)
+    assert int(state.step) == 3
+
+
+def test_sp_rejects_conditioned_and_fused(tmp_path):
+    from lb_wavenet_tpu.config import Config
+    from lb_wavenet_tpu.data import synthetic_corpus
+    from lb_wavenet_tpu.train import run_training
+
+    base = {
+        "arch": {
+            "n_blocks": 1, "n_layers_per_block": 3,
+            "residual_channels": 8, "skip_channels": 8,
+            "gate_channels": 8, "compute_dtype": "float32",
+        },
+        "train": {
+            "batch_size": 2, "window_size": 32, "n_steps": 1,
+            "mesh_data": 4, "seq_parallel": True,
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        },
+    }
+    mel = Config.from_dict(
+        {**base, "arch": {**base["arch"], "n_mels": 8, "cond_channels": 8,
+                          "upsample_factors": [4, 4]}}
+    )
+    corpus = synthetic_corpus(mel.arch, 32, n_files=1, file_len=200)
+    with pytest.raises(ValueError, match="unconditioned"):
+        run_training(mel, corpus=corpus)
+    fused = Config.from_dict(
+        {**base, "train": {**base["train"], "fused_stack": True}}
+    )
+    with pytest.raises(ValueError, match="fused_stack"):
+        run_training(fused, corpus=corpus)
