@@ -153,12 +153,37 @@ def cmd_generate(args) -> int:
         chunk = int(args.stream_chunk)
         if chunk <= 0:
             raise SystemExit(f"--stream-chunk must be positive, got {chunk}")
-        if cond_frames is not None or forced is not None:
+        if forced is not None:
             raise SystemExit(
-                "--stream-chunk streams free-running (optionally speaker-"
-                "conditioned) synthesis; mel/priming need the one-shot path"
+                "--stream-chunk streams synthesis; priming needs the "
+                "one-shot path"
             )
         from .generate import mu_law_decode, start_stream, stream_chunk
+
+        ups = None
+        if cond_frames is not None:
+            # Streaming vocoder mode: mel frames are fed incrementally
+            # through the StreamingUpsampler (fixed lookahead of
+            # cond_halo_frames), and each audio chunk consumes exactly its
+            # span of the resulting conditioning — the chunked output
+            # bit-matches the one-shot mel path (tests/test_mel_pipeline.py).
+            from .models.conditioning import StreamingUpsampler
+
+            total_cond = cond_frames.shape[1] * cfg.arch.hop_size
+            if total_cond < cfg.gen.n_samples:
+                raise SystemExit(
+                    f"--mel frames cover {total_cond} samples < "
+                    f"gen.n_samples={cfg.gen.n_samples}"
+                )
+            if cond_frames.shape[0] != cfg.gen.batch_size:
+                raise SystemExit(
+                    f"--mel batch {cond_frames.shape[0]} != "
+                    f"gen.batch_size {cfg.gen.batch_size}"
+                )
+            ups = StreamingUpsampler(
+                params["upsampler"], cfg.arch,
+                jax.numpy.dtype(cfg.arch.compute_dtype),
+            )
 
         # Streaming engines: mega (fastest; batch % 128 == 0), pallas, xla.
         eng = cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "xla")
@@ -176,9 +201,41 @@ def cmd_generate(args) -> int:
         )
         parts = []
         emitted = 0
+        fed = 0
+        ups_done = False
+        fpc = max(chunk // cfg.arch.hop_size, 1)  # frames fed per refill
+        pending = (
+            np.zeros((cfg.gen.batch_size, 0, cfg.arch.cond_channels),
+                     np.float32)
+            if ups is not None else None
+        )
         while emitted < cfg.gen.n_samples:
+            cond_chunk = None
+            if ups is not None:
+                while pending.shape[1] < chunk and not ups_done:
+                    if fed < cond_frames.shape[1]:
+                        out = ups.feed(cond_frames[:, fed : fed + fpc])
+                        fed += fpc
+                    else:
+                        out = ups.finish()
+                        ups_done = True
+                    pending = np.concatenate(
+                        [pending, np.asarray(out)], axis=1
+                    )
+                if pending.shape[1] < chunk:
+                    # Final chunk overshoots n_samples: zero-pad the tail
+                    # (those samples are trimmed below; real cond covers
+                    # everything kept since total_cond >= n_samples).
+                    pending = np.concatenate(
+                        [pending, np.zeros(
+                            (pending.shape[0], chunk - pending.shape[1],
+                             pending.shape[2]), np.float32)], axis=1,
+                    )
+                cond_chunk = jax.numpy.asarray(pending[:, :chunk])
+                pending = pending[:, chunk:]
             classes, stream = stream_chunk(
                 params, cfg.arch, stream, chunk,
+                cond=cond_chunk,
                 speaker_ids=(
                     jax.numpy.asarray(speaker_ids)
                     if speaker_ids is not None else None

@@ -21,6 +21,7 @@ covering the window's input span, computed from the float waveform.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Iterator, Optional, Sequence
 
@@ -29,6 +30,23 @@ import numpy as np
 from .config import ArchConfig, TrainConfig
 from .ops import geometry
 from .ops.mulaw import mu_law_encode
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_log_mel(n_mels: int, hop: int, sample_rate: int):
+    """Jitted batched log-mel (one compile per (params, input shape))."""
+    import jax
+
+    from .ops.mel import log_mel_spectrogram
+
+    return jax.jit(
+        functools.partial(
+            log_mel_spectrogram,
+            n_mels=n_mels,
+            hop=hop,
+            sample_rate=sample_rate,
+        )
+    )
 
 
 def load_wav(path: str) -> tuple[np.ndarray, int]:
@@ -124,19 +142,9 @@ class Corpus:
         )
         return inputs, targets, mask
 
-    def mel_for_window(self, fi: int, wi: int, n_frames: int) -> np.ndarray:
-        """Mel frames covering the window's model-input span.
-
-        Frame k of the returned array corresponds to samples
-        [in_start + k*hop, ...): the upsampled conditioning then aligns
-        elementwise with `inputs`. Out-of-file regions are zero frames.
-        """
-        import jax.numpy as jnp
-
-        from .ops.mel import log_mel_spectrogram
-
-        arch = self.arch
-        hop = arch.hop_size
+    def _window_segment(self, fi: int, wi: int) -> np.ndarray:
+        """Float waveform over the window's model-input span (zero padded
+        where the span reaches outside the file)."""
         t0, _ = geometry.window_bounds(
             len(self.encoded[fi]), self.window_size, wi
         )
@@ -146,16 +154,34 @@ class Corpus:
         lo, hi = max(in_start, 0), min(in_start + in_len, len(wav))
         seg = np.zeros(in_len, dtype=np.float32)
         seg[lo - in_start : hi - in_start] = wav[lo:hi]
-        frames = log_mel_spectrogram(
-            jnp.asarray(seg[None]),
-            n_mels=arch.n_mels,
-            hop=hop,
-            sample_rate=arch.sample_rate,
-        )[0]
-        out = np.zeros((n_frames, arch.n_mels), dtype=np.float32)
-        n = min(n_frames, frames.shape[0])
-        out[:n] = np.asarray(frames[:n])
+        return seg
+
+    def mel_for_windows(
+        self, pairs: Sequence[tuple], n_frames: int
+    ) -> np.ndarray:
+        """Mel frames for a BATCH of windows in one jitted call.
+
+        Frame k of row j corresponds to samples [in_start_j + k*hop, ...):
+        the upsampled conditioning then aligns elementwise with `inputs`.
+        Out-of-file regions are zero frames. Batching matters: the per-
+        window eager path computed mel at 1.33M samples/sec at production
+        shape — SLOWER than the 2.50M the fused mel train step consumes —
+        making the input pipeline the bottleneck; one jitted batch call
+        removes the per-window dispatch overhead.
+        """
+        arch = self.arch
+        segs = np.stack([self._window_segment(fi, wi) for fi, wi in pairs])
+        frames = np.asarray(_jitted_log_mel(
+            arch.n_mels, arch.hop_size, arch.sample_rate
+        )(segs))
+        out = np.zeros((len(pairs), n_frames, arch.n_mels), dtype=np.float32)
+        n = min(n_frames, frames.shape[1])
+        out[:, :n] = frames[:, :n]
         return out
+
+    def mel_for_window(self, fi: int, wi: int, n_frames: int) -> np.ndarray:
+        """Single-window convenience wrapper over mel_for_windows."""
+        return self.mel_for_windows([(fi, wi)], n_frames)[0]
 
 
 class LaneSchedule:
@@ -247,9 +273,7 @@ def make_batches(
         mask = np.stack([corpus.example(*p)[2] for p in pairs])
         mel = None
         if with_mel:
-            mel = np.stack(
-                [corpus.mel_for_window(*p, n_frames) for p in pairs]
-            )
+            mel = corpus.mel_for_windows(pairs, n_frames)
         speaker = None
         if corpus.speakers is not None:
             speaker = np.asarray(

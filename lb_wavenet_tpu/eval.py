@@ -98,9 +98,7 @@ def eval_batches(
         mask = mask * pad[:, None]
         mel = None
         if with_mel:
-            mel = np.stack(
-                [corpus.mel_for_window(*p, n_frames) for p in pairs]
-            )
+            mel = corpus.mel_for_windows(pairs, n_frames)
         speaker = None
         if corpus.speakers is not None:
             speaker = np.asarray(

@@ -76,3 +76,86 @@ def upsample_cond(
         )
         h = jax.nn.leaky_relu(out + stage["b"], negative_slope=0.4)
     return h.astype(dtype)
+
+
+def cond_halo_frames(arch: ArchConfig) -> int:
+    """Frames of context (each side) after which chunked upsampling is exact.
+
+    Each stage is repeat-by-f then a SAME conv of kernel 2f+1: stage s's
+    output depends on ±1 frame at its INPUT rate, i.e. ±1/(f_1···f_{s-1})
+    original frames. The total radius is 1 + 1/f_1 + 1/(f_1 f_2) + ... < 2,
+    so ceil of the sum (typically 2) frames of halo make an interior chunk
+    equal the one-shot output; at true sequence boundaries the SAME-conv
+    zero padding itself reproduces the one-shot edge behavior.
+    """
+    import math
+
+    r, p = 0.0, 1
+    for f in arch.upsample_factors:
+        r += 1.0 / p
+        p *= f
+    return int(math.ceil(r))
+
+
+class StreamingUpsampler:
+    """Incremental frame-rate mel -> sample-rate conditioning.
+
+    The streaming-TTS frontend of the vocoder serving path: feed mel frame
+    chunks with `feed`, get back the conditioning samples that became FINAL
+    (have `cond_halo_frames` of lookahead); `finish` flushes the tail with
+    true end-of-sequence semantics. The concatenated output is bit-identical
+    to slicing one `upsample_cond` call over all frames
+    (tests/test_mel_pipeline.py), at a fixed latency of `cond_halo_frames`
+    frames (= halo * hop_size samples).
+    """
+
+    def __init__(self, params: dict, arch: ArchConfig, dtype=jnp.float32):
+        self.arch = arch
+        self.pad = cond_halo_frames(arch)
+        self._up = jax.jit(
+            lambda fr: upsample_cond(params, arch, fr, dtype)
+        )
+        self._buf = None   # (B, n, n_mels): left halo + not-yet-final frames
+        self._left = 0     # halo frames at the buffer head (already emitted)
+        self._done = False
+
+    def _empty(self):
+        b = 1 if self._buf is None else self._buf.shape[0]
+        return jnp.zeros((b, 0, self.arch.cond_channels))
+
+    def _emit(self, n_frames: int) -> jnp.ndarray:
+        h = self._up(self._buf)
+        hop = self.arch.hop_size
+        out = h[:, self._left * hop : (self._left + n_frames) * hop]
+        keep_from = max(self._left + n_frames - self.pad, 0)
+        self._buf = self._buf[:, keep_from:]
+        self._left = self._left + n_frames - keep_from
+        return out
+
+    def feed(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """Add (B, F, n_mels) frames; return newly-final cond samples
+        (B, S, cond_channels) — possibly S == 0 while lookahead builds."""
+        if self._done:
+            raise ValueError("StreamingUpsampler already finished")
+        frames = jnp.asarray(frames)
+        self._buf = (
+            frames
+            if self._buf is None
+            else jnp.concatenate([self._buf, frames], axis=1)
+        )
+        emit = self._buf.shape[1] - self._left - self.pad
+        if emit <= 0:
+            return self._empty()
+        return self._emit(emit)
+
+    def finish(self) -> jnp.ndarray:
+        """Flush: the remaining frames are final (true sequence end)."""
+        if self._done:
+            raise ValueError("StreamingUpsampler already finished")
+        self._done = True
+        if self._buf is None:
+            return self._empty()
+        emit = self._buf.shape[1] - self._left
+        if emit <= 0:
+            return self._empty()
+        return self._emit(emit)

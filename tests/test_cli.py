@@ -151,6 +151,66 @@ def test_cli_generate_streaming(tmp_path):
     assert sorted(os.listdir(outdir)) == ["gen_0000.wav", "gen_0001.wav"]
 
 
+def test_cli_streamed_mel_matches_one_shot(tmp_path):
+    """--stream-chunk --mel (streaming vocoder mode) writes byte-identical
+    wavs to the one-shot mel path: same seed, same engine, chunked cond via
+    the StreamingUpsampler."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 150 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8", "--set", 'arch.compute_dtype="float32"',
+        "--set", "arch.n_mels=8", "--set", "arch.cond_channels=8",
+        "--set", "arch.upsample_factors=[4,4]",
+    ]
+    ckpt = tmp_path / "ck"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    frames = np.random.default_rng(5).standard_normal((2, 8, 8)).astype(
+        np.float32
+    )
+    mel_path = str(tmp_path / "frames.npy")
+    np.save(mel_path, frames)
+
+    gen = [
+        "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=2",
+        "--set", "gen.n_samples=96", "--mel", mel_path,
+    ]
+    out_a, out_b = tmp_path / "one_shot", tmp_path / "streamed"
+    r = _run(
+        ["generate", *tiny, *gen, "--set", f'gen.out_dir="{out_a}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _run(
+        ["generate", *tiny, *gen, "--stream-chunk", "32",
+         "--set", f'gen.out_dir="{out_b}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    for name in sorted(os.listdir(out_a)):
+        a = open(out_a / name, "rb").read()
+        b = open(out_b / name, "rb").read()
+        assert a == b, f"{name}: streamed mel wav differs from one-shot"
+
+
 def test_cli_generate_streaming_mega(tmp_path):
     """--stream-chunk with gen.engine=mega streams via the whole-chunk
     kernel (batch % 128 == 0)."""
