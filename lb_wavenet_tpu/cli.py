@@ -320,6 +320,49 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Arch/config introspection: geometry, param count, AR roofline."""
+    cfg = _load_config(args)
+    import jax
+    import numpy as np
+
+    from .models.wavenet import init_params
+    from .utils.profiling import ar_step_speed_of_light
+
+    arch = cfg.arch
+    shapes = jax.eval_shape(
+        lambda k: init_params(k, arch), jax.random.key(0)
+    )
+    n_params = sum(
+        int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(shapes)
+    )
+    sol = ar_step_speed_of_light(arch, cfg.gen.batch_size)
+    print(
+        json.dumps(
+            {
+                "layers": len(arch.dilations),
+                "dilations": f"{arch.n_blocks}x[1..{max(arch.dilations)}]",
+                "receptive_field": arch.receptive_field,
+                "receptive_field_ms": round(
+                    1000.0 * arch.receptive_field / arch.sample_rate, 2
+                ),
+                "hop_size": arch.hop_size,
+                "local_cond": arch.use_local_cond,
+                "global_cond": arch.use_global_cond,
+                "n_params": n_params,
+                "param_mb": round(n_params * 4 / 2**20, 2),
+                "train_flops_per_sample": int(6 * n_params),  # fwd+bwd approx
+                "gen_batch": cfg.gen.batch_size,
+                "ar_speed_of_light": {
+                    k: (round(v, 3) if isinstance(v, float) else v)
+                    for k, v in sol.items()
+                },
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     # This image's sitecustomize force-selects the axon TPU platform
     # programmatically (env JAX_PLATFORMS is overridden); WAVENET_PLATFORM
@@ -380,10 +423,17 @@ def main(argv=None) -> int:
         action="store_true",
         help="evaluate the EMA params from the checkpoint",
     )
+    p_info = sub.add_parser(
+        "info", help="arch/config introspection (geometry, params, roofline)"
+    )
+    _add_common(p_info)
     args = parser.parse_args(argv)
-    return {"train": cmd_train, "generate": cmd_generate, "eval": cmd_eval}[
-        args.cmd
-    ](args)
+    return {
+        "train": cmd_train,
+        "generate": cmd_generate,
+        "eval": cmd_eval,
+        "info": cmd_info,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,19 @@ def test_cli_train_generate_roundtrip(tmp_path):
     assert sorted(os.listdir(outdir)) == ["gen_0000.wav", "gen_0001.wav"]
 
 
+def test_cli_info():
+    """`wavenet info`: geometry + param count + roofline, no checkpoint."""
+    r = _run(["info", "--config", "configs/wavenet30.json"], timeout=180)
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert rec["layers"] == 30
+    assert rec["receptive_field"] == 1 + 1 + 3 * (2**10 - 1)
+    assert rec["n_params"] > 0
+    assert rec["ar_speed_of_light"]["sol_audio_sec_per_sec"] > 0
+
+
 def test_cli_eval(tmp_path):
     """`wavenet eval`: held-out metrics from a trained checkpoint."""
     import numpy as np
