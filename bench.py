@@ -10,7 +10,11 @@ Prints ONE JSON line:
 
 Env knobs: BENCH_BATCH (preset-specific default), BENCH_SAMPLES (default 8192),
 BENCH_CONFIG (arch preset: wavenet30 | stress), BENCH_ENGINE
-(xla | pallas | turbo | mega; default mega, turbo when batch % 128 != 0).
+(xla | pallas | turbo | mega; default mega, turbo when batch % 128 != 0),
+BENCH_STREAM_CHUNK (N > 0: drive the STREAMING session path in chunks of N
+samples — for the mel preset the conditioning is upsampled per chunk via
+StreamingUpsampler, so peak HBM is O(chunk) instead of O(total samples),
+unlocking batches the one-shot mel path cannot hold).
 """
 import json
 import os
@@ -22,6 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     import jax
+
+    # WAVENET_PLATFORM=cpu forces CPU (for smoke tests); env JAX_PLATFORMS
+    # alone does NOT work in this image (axon.register overrides it).
+    plat = os.environ.get("WAVENET_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     # Persistent compilation cache: remote TPU compiles over this image's
     # relay can take minutes under load; cached executables load in seconds.
@@ -75,6 +85,7 @@ def main() -> int:
         # relay-D2H measurement artifact.
         batch = int(os.environ.get("BENCH_BATCH", "1536"))
     n_samples = int(os.environ.get("BENCH_SAMPLES", "8192"))
+    stream_chunk_n = int(os.environ.get("BENCH_STREAM_CHUNK", "0"))
     # Engine: mega (whole loop in one Pallas kernel) is the production
     # default; it requires batch % 128 == 0, else fall back to turbo.
     engine = os.environ.get("BENCH_ENGINE", "")
@@ -87,19 +98,75 @@ def main() -> int:
     import numpy as np
 
     cond_full = None
+    frames = None
     if preset == "mel":
-        from lb_wavenet_tpu.models.conditioning import upsample_cond
-
         frames = jax.random.normal(
             jax.random.key(3),
-            (batch, 2 * n_samples // arch.hop_size + 1, arch.n_mels),
+            (batch, 2 * n_samples // arch.hop_size + 8, arch.n_mels),
         )
-        cond_full = upsample_cond(
-            params["upsampler"], arch, frames,
-            jax.numpy.dtype(arch.compute_dtype),
+        if not stream_chunk_n:
+            from lb_wavenet_tpu.models.conditioning import upsample_cond
+
+            # One-shot path: the WHOLE upsampled cond stream lives in HBM
+            # ((B, 2T, Cc) ~ 4 GB at B=1024/T=16k -> ResourceExhausted);
+            # use BENCH_STREAM_CHUNK for larger batches.
+            cond_full = upsample_cond(
+                params["upsampler"], arch, frames,
+                jax.numpy.dtype(arch.compute_dtype),
+            )
+
+    def run_streaming(n):
+        """Production streaming-session loop (serving.md): chunked emission
+        with O(chunk) peak memory; cond upsampled incrementally."""
+        from lb_wavenet_tpu.generate import start_stream, stream_chunk
+
+        assert n % stream_chunk_n == 0, "BENCH_SAMPLES % BENCH_STREAM_CHUNK"
+        ups = None
+        if preset == "mel":
+            from lb_wavenet_tpu.models.conditioning import (
+                StreamingUpsampler, cond_halo_frames,
+            )
+
+            hop = arch.hop_size
+            assert stream_chunk_n % hop == 0, "chunk must be frame-aligned"
+            fpc = stream_chunk_n // hop
+            ups = StreamingUpsampler(
+                params["upsampler"], arch,
+                dtype=jax.numpy.dtype(arch.compute_dtype),
+            )
+            # Prime the fixed lookahead so every later feed of fpc frames
+            # emits exactly one chunk of cond samples (steady-state buffer
+            # width is constant -> one upsampler compile).
+            pad = cond_halo_frames(arch)
+            primed = ups.feed(frames[:, :pad])
+            assert primed.shape[1] == 0
+            fed = pad
+        stream = start_stream(
+            arch, batch, jax.random.key(1), engine=engine, params=params
         )
+        total = jax.numpy.zeros((), jax.numpy.int64)
+        last = None
+        for i in range(n // stream_chunk_n):
+            cond_c = None
+            if ups is not None:
+                cond_c = ups.feed(frames[:, fed : fed + fpc])
+                fed += fpc
+                assert cond_c.shape[1] == stream_chunk_n
+            classes, stream = stream_chunk(
+                params, arch, stream, stream_chunk_n, cond=cond_c,
+                temperature=1.0, engine=engine,
+            )
+            total = total + classes.astype(jax.numpy.int64).sum()
+            last = classes
+        probe = np.asarray(last[:, -1])
+        tot = int(np.asarray(total))  # scalar D2H: the only sync point
+        assert probe.shape == (batch,)
+        assert 0 <= probe.min() and probe.max() < arch.quant_channels
+        return (batch, n), tot
 
     def run(n):
+        if stream_chunk_n:
+            return run_streaming(n)
         out = generate_classes(
             params,
             arch,
@@ -160,6 +227,7 @@ def main() -> int:
                     "steps_per_sec": round(n_samples / elapsed, 1),
                     "compile_s": round(compile_s, 1), "t_short_s": round(t_short, 3), "t_long_s": round(t_long, 3),
                     "engine": engine,
+                    "stream_chunk": stream_chunk_n or None,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

@@ -1,4 +1,4 @@
-"""Command-line entry points: `wavenet train` / `generate` / `eval`.
+"""Command-line entry points: `wavenet train|generate|eval|info|export`.
 
 Reference parity: the reference shipped `train.py` and `generate.py` argparse
 CLIs driven by JSON architecture files (SURVEY.md §2.1 "CLI entry points",
@@ -363,6 +363,33 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export an AOT serving artifact (utils/export.py)."""
+    cfg = _load_config(args)
+    import jax
+
+    from .models.wavenet import init_params
+    from .utils.export import export_serving
+
+    params = init_params(jax.random.key(0), cfg.arch)
+    manifest = export_serving(
+        params,
+        cfg.arch,
+        batch=args.batch or cfg.gen.batch_size,
+        chunk_size=args.chunk,
+        out_dir=args.out,
+        engine=args.engine,
+        temperature=cfg.gen.temperature,
+        with_cond=cfg.arch.use_local_cond,
+    )
+    print(json.dumps({"exported": args.out, **{
+        k: manifest[k] for k in (
+            "engine", "batch", "chunk_size", "with_cond", "platforms"
+        )
+    }}))
+    return 0
+
+
 def main(argv=None) -> int:
     # This image's sitecustomize force-selects the axon TPU platform
     # programmatically (env JAX_PLATFORMS is overridden); WAVENET_PLATFORM
@@ -427,12 +454,27 @@ def main(argv=None) -> int:
         "info", help="arch/config introspection (geometry, params, roofline)"
     )
     _add_common(p_info)
+    p_export = sub.add_parser(
+        "export", help="export an AOT serving artifact (jax.export)"
+    )
+    _add_common(p_export)
+    p_export.add_argument("--out", required=True, help="artifact directory")
+    p_export.add_argument(
+        "--engine", default="mega", choices=["xla", "pallas", "mega"]
+    )
+    p_export.add_argument(
+        "--batch", type=int, default=0, help="session batch (default gen.batch_size)"
+    )
+    p_export.add_argument(
+        "--chunk", type=int, default=4096, help="samples per step call"
+    )
     args = parser.parse_args(argv)
     return {
         "train": cmd_train,
         "generate": cmd_generate,
         "eval": cmd_eval,
         "info": cmd_info,
+        "export": cmd_export,
     }[args.cmd](args)
 
 

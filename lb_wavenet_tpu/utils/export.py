@@ -1,0 +1,214 @@
+"""AOT serving artifacts: jax.export'ed synthesis step functions.
+
+Deployment path (SURVEY.md §5 config/serving; docs/serving.md): the
+reference re-traces its generation graph from Python source at every
+process start. Here the jitted streaming-synthesis step is exported ONCE to
+a versioned on-disk artifact (StableHLO via `jax.export`) and reloaded by a
+serving process with `load_serving` — no model-construction code, no
+re-trace, stable across framework-code changes. Parameters are NOT baked
+in: the exported functions take the params pytree as an argument, so one
+artifact serves every checkpoint of its architecture (params come from the
+orbax checkpoints written by training).
+
+An artifact directory contains:
+  manifest.json   arch config + static choices (batch, chunk_size, engine,
+                  temperature, with_cond, platforms, jax version)
+  init.jaxexport  (params, seed:int32) -> state        [exported]
+  step.jaxexport  (params, state[, cond]) -> (classes, state)   [exported]
+
+`state` crosses the boundary as a plain dict of arrays (PRNG keys carried
+as raw uint32 key data) so serialization needs no custom pytree
+registration. Bit parity with the in-process streaming session
+(generate.start_stream/stream_chunk) is tested in tests/test_export.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from ..config import ArchConfig
+
+ARTIFACT_VERSION = 1
+_MANIFEST = "manifest.json"
+_INIT = "init.jaxexport"
+_STEP = "step.jaxexport"
+
+# Pallas TPU kernels lower to the Mosaic custom call, which jax.export does
+# not list as guaranteed-stable; artifacts embedding it are tied to a
+# compatible libtpu (recorded in the manifest) — standard practice for
+# kernel-bearing exports.
+_TPU_CUSTOM_CALLS = ("tpu_custom_call",)
+
+
+def _stream_to_flat(stream, engine: str) -> dict:
+    """Stream (generate.Stream) -> plain dict-of-arrays state."""
+    if engine == "mega":
+        st = dict(stream.state["carry"])
+        st["seed_base"] = stream.state["seed_base"]
+        st["t"] = stream.t
+        return st
+    rs = stream.state
+    return {
+        "embed_buf": rs.embed_buf,
+        "bufs": rs.bufs,
+        "prev_class": rs.prev_class,
+        "rng_data": jax.random.key_data(rs.rng),
+        "t": stream.t,
+    }
+
+
+def _flat_to_stream(flat: dict, engine: str):
+    from ..generate import RingState, Stream
+
+    if engine == "mega":
+        st = dict(flat)
+        t = st.pop("t")
+        seed_base = st.pop("seed_base")
+        return Stream({"carry": st, "seed_base": seed_base}, t)
+    return Stream(
+        RingState(
+            embed_buf=flat["embed_buf"],
+            bufs=flat["bufs"],
+            prev_class=flat["prev_class"],
+            rng=jax.random.wrap_key_data(flat["rng_data"]),
+        ),
+        flat["t"],
+    )
+
+
+def _make_fns(arch: ArchConfig, batch: int, chunk_size: int, engine: str,
+              temperature: float, with_cond: bool):
+    from ..generate import start_stream, stream_chunk
+
+    def init_fn(params, seed):
+        stream = start_stream(
+            arch, batch, jax.random.key(seed), engine=engine, params=params
+        )
+        return _stream_to_flat(stream, engine)
+
+    def step_fn(params, state, *maybe_cond):
+        stream = _flat_to_stream(state, engine)
+        cond = maybe_cond[0] if with_cond else None
+        classes, new_stream = stream_chunk(
+            params, arch, stream, chunk_size, cond=cond,
+            temperature=temperature, engine=engine,
+        )
+        return classes, _stream_to_flat(new_stream, engine)
+
+    return init_fn, step_fn
+
+
+def export_serving(
+    params,
+    arch: ArchConfig,
+    batch: int,
+    chunk_size: int,
+    out_dir: str,
+    engine: str = "xla",
+    temperature: float = 1.0,
+    with_cond: bool = False,
+) -> dict:
+    """Export the streaming-synthesis session to `out_dir`; returns the
+    manifest. `params` provides shapes/dtypes only — weights are not baked
+    into the artifact."""
+    if engine not in ("xla", "pallas", "mega"):
+        raise ValueError(f"exportable engines: xla|pallas|mega, got {engine}")
+    init_fn, step_fn = _make_fns(
+        arch, batch, chunk_size, engine, temperature, with_cond
+    )
+    p_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        params,
+    )
+    seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    state_spec = jax.eval_shape(init_fn, p_spec, seed_spec)
+    step_args = [p_spec, state_spec]
+    if with_cond:
+        step_args.append(
+            jax.ShapeDtypeStruct(
+                (batch, chunk_size, arch.cond_channels),
+                jnp.dtype(arch.compute_dtype),
+            )
+        )
+    checks = [
+        jexport.DisabledSafetyCheck.custom_call(t) for t in _TPU_CUSTOM_CALLS
+    ] if engine in ("pallas", "mega") else []
+
+    exp_init = jexport.export(jax.jit(init_fn), disabled_checks=checks)(
+        p_spec, seed_spec
+    )
+    exp_step = jexport.export(jax.jit(step_fn), disabled_checks=checks)(
+        *step_args
+    )
+
+    manifest = {
+        "artifact_version": ARTIFACT_VERSION,
+        "arch": dataclasses.asdict(arch),
+        "batch": batch,
+        "chunk_size": chunk_size,
+        "engine": engine,
+        "temperature": temperature,
+        "with_cond": with_cond,
+        "platforms": list(exp_step.platforms),
+        "jax_version": jax.__version__,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _INIT), "wb") as f:
+        f.write(exp_init.serialize())
+    with open(os.path.join(out_dir, _STEP), "wb") as f:
+        f.write(exp_step.serialize())
+    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return manifest
+
+
+class ServingArtifact:
+    """A loaded serving artifact: `init` once, then `step` forever.
+
+    State is O(receptive field) and chunk output bit-matches the in-process
+    streaming session of the same engine (same kernels, same RNG chain).
+    """
+
+    def __init__(self, manifest: dict, exp_init, exp_step):
+        from ..config import _from_dict
+
+        self.manifest = manifest
+        self.arch = _from_dict(ArchConfig, manifest["arch"])
+        self._init = jax.jit(exp_init.call)
+        self._step = jax.jit(exp_step.call)
+
+    def init(self, params, seed: int):
+        return self._init(params, jnp.int32(seed))
+
+    def step(self, params, state, cond: Optional[jnp.ndarray] = None):
+        """-> (classes (B, chunk_size) int32, new state)."""
+        if self.manifest["with_cond"]:
+            if cond is None:
+                raise ValueError("artifact was exported with_cond: pass cond")
+            return self._step(params, state, cond)
+        if cond is not None:
+            raise ValueError("artifact was exported without cond")
+        return self._step(params, state)
+
+
+def load_serving(path: str) -> ServingArtifact:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest["artifact_version"] != ARTIFACT_VERSION:
+        raise ValueError(
+            f"artifact version {manifest['artifact_version']} != "
+            f"{ARTIFACT_VERSION}"
+        )
+    with open(os.path.join(path, _INIT), "rb") as f:
+        exp_init = jexport.deserialize(f.read())
+    with open(os.path.join(path, _STEP), "rb") as f:
+        exp_step = jexport.deserialize(f.read())
+    return ServingArtifact(manifest, exp_init, exp_step)

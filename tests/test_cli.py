@@ -81,6 +81,29 @@ def test_cli_info():
     assert rec["ar_speed_of_light"]["sol_audio_sec_per_sec"] > 0
 
 
+def test_cli_export(tmp_path):
+    """`wavenet export`: writes a loadable AOT serving artifact."""
+    out = tmp_path / "artifact"
+    r = _run(
+        [
+            "export",
+            "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+            "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+            "--set", "arch.gate_channels=8", "--set", 'arch.compute_dtype="float32"',
+            "--out", str(out), "--engine", "xla", "--batch", "2", "--chunk", "16",
+        ],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    rec = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert rec["batch"] == 2 and rec["chunk_size"] == 16
+    assert sorted(os.listdir(out)) == [
+        "init.jaxexport", "manifest.json", "step.jaxexport",
+    ]
+
+
 def test_cli_eval(tmp_path):
     """`wavenet eval`: held-out metrics from a trained checkpoint."""
     import numpy as np

@@ -1,0 +1,132 @@
+"""AOT serving artifacts (utils/export.py): save -> load -> run parity.
+
+The exported step must bit-match the in-process streaming session: same
+kernels, same RNG chain, state round-tripped through the flat-dict
+boundary. Runs on CPU (xla engine natively; mega in interpret mode).
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lb_wavenet_tpu.config import ArchConfig
+from lb_wavenet_tpu.generate import start_stream, stream_chunk
+from lb_wavenet_tpu.models.wavenet import init_params
+from lb_wavenet_tpu.utils.export import (
+    export_serving, load_serving, ServingArtifact,
+)
+
+ARCH = ArchConfig(
+    n_blocks=2, n_layers_per_block=3, residual_channels=8, skip_channels=8,
+    gate_channels=8, compute_dtype="float32",
+)
+MEL_ARCH = ArchConfig(
+    n_blocks=1, n_layers_per_block=3, residual_channels=8, skip_channels=8,
+    gate_channels=8, n_mels=6, cond_channels=4, upsample_factors=(2, 4),
+    compute_dtype="float32",
+)
+
+
+def _reference_chunks(params, arch, batch, chunk, n_chunks, engine, seed,
+                      cond_full=None):
+    stream = start_stream(
+        arch, batch, jax.random.key(seed), engine=engine, params=params
+    )
+    out = []
+    for i in range(n_chunks):
+        cond = (
+            cond_full[:, i * chunk : (i + 1) * chunk]
+            if cond_full is not None else None
+        )
+        classes, stream = stream_chunk(
+            params, arch, stream, chunk, cond=cond, engine=engine
+        )
+        out.append(np.asarray(classes))
+    return np.concatenate(out, axis=1)
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas", "mega"])
+def test_export_roundtrip_bitmatch(tmp_path, engine):
+    batch, chunk, n_chunks = 2, 16, 3
+    params = init_params(jax.random.key(0), ARCH)
+    out_dir = str(tmp_path / f"artifact_{engine}")
+    manifest = export_serving(
+        params, ARCH, batch, chunk, out_dir, engine=engine, temperature=1.0
+    )
+    assert manifest["engine"] == engine
+    assert os.path.exists(os.path.join(out_dir, "manifest.json"))
+
+    art = load_serving(out_dir)
+    assert isinstance(art, ServingArtifact)
+    assert art.arch == ARCH
+
+    state = art.init(params, seed=7)
+    got = []
+    for _ in range(n_chunks):
+        classes, state = art.step(params, state)
+        got.append(np.asarray(classes))
+    got = np.concatenate(got, axis=1)
+
+    want = _reference_chunks(params, ARCH, batch, chunk, n_chunks, engine, 7)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_export_with_cond(tmp_path):
+    """Mel-conditioned artifact: per-chunk cond threads through."""
+    from lb_wavenet_tpu.models.conditioning import upsample_cond
+
+    batch, chunk, n_chunks = 2, 16, 2
+    params = init_params(jax.random.key(1), MEL_ARCH)
+    hop = MEL_ARCH.hop_size
+    frames = jax.random.normal(
+        jax.random.key(2),
+        (batch, n_chunks * chunk // hop + 2, MEL_ARCH.n_mels),
+    )
+    cond_full = upsample_cond(
+        params["upsampler"], MEL_ARCH, frames, jnp.float32
+    )
+    out_dir = str(tmp_path / "artifact_mel")
+    export_serving(
+        params, MEL_ARCH, batch, chunk, out_dir, engine="xla",
+        with_cond=True,
+    )
+    art = load_serving(out_dir)
+    state = art.init(params, seed=3)
+    got = []
+    for i in range(n_chunks):
+        classes, state = art.step(
+            params, state, cond=cond_full[:, i * chunk : (i + 1) * chunk]
+        )
+        got.append(np.asarray(classes))
+    got = np.concatenate(got, axis=1)
+    want = _reference_chunks(
+        params, MEL_ARCH, batch, chunk, n_chunks, "xla", 3,
+        cond_full=cond_full,
+    )
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(ValueError, match="with_cond"):
+        art.step(params, state)
+
+
+def test_export_manifest_and_errors(tmp_path):
+    params = init_params(jax.random.key(0), ARCH)
+    out_dir = str(tmp_path / "artifact")
+    export_serving(params, ARCH, 2, 8, out_dir, engine="xla")
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["batch"] == 2 and m["chunk_size"] == 8
+    assert m["arch"]["n_blocks"] == ARCH.n_blocks
+
+    with pytest.raises(ValueError, match="engines"):
+        export_serving(params, ARCH, 2, 8, out_dir, engine="turbo")
+
+    # version guard
+    m["artifact_version"] = 999
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="version"):
+        load_serving(out_dir)
