@@ -118,6 +118,7 @@ class TrainConfig:
     seq_parallel: bool = False
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
     fused_stack: bool = False         # fused Pallas training-stack kernel
+    tapcat: bool = False              # fused kernel: K=2C merged tap matmul
 
 
 @dataclass(frozen=True)

@@ -30,6 +30,7 @@ path in interpret mode; on-chip validation in BASELINE.md.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -112,6 +113,239 @@ def _fwd_kernel(
         # einsum over the ENTIRE z_all tensor (L*T*G read, ~30x more HBM
         # traffic at wavenet30).
         xfin_ref[0] = x_s[:]
+
+
+def _fwd_kernel_tc(
+    dils_ref,                      # (L,) scalar prefetch
+    h0_ref,                        # (1, T, C)
+    wcp_ref, b_ref,                # (1,2C,2G) [w_cur; w_prev] stacked, (1,1,2G)
+    wr_ref, br_ref,                # (1,G,C) (1,1,C)
+    ws_ref, bs_ref,                # (1,G,S) (1,1,S)
+    cond_ref, wcond_ref,           # (1,T,Cc) (1,Cc,2G) or None
+    z_ref, skip_ref, xfin_ref,     # outs (1,1,T,G) (1,T,S) (1,T,C)
+    x_s, skip_s, xcat_s,           # scratch (T,C) (T,S) (T+maxd,2C)
+    *,
+    compute_dtype,
+    n_layers: int,
+    max_d: int,
+):
+    """Tap-concat forward: the two width-2 taps become ONE K=2C matmul.
+
+    The default kernel computes xc = x @ w_cur and xp = shift(x @ w_prev)
+    as two K=C contractions — at C=64 each fills only half the MXU's
+    128-deep systolic array. Here [x | shift(x)] is built in a padded
+    (T+maxd, 2C) buffer with the SAME copy traffic as the default's xp
+    staging: x is written once per column half — statically at row maxd in
+    the shift half, at the dynamic offset maxd-d in the current half — so
+    the slice [maxd-d : maxd-d+T) reads [x | shift(x)] directly, and one
+    full-depth (2C, 2G) contraction replaces the two half-filled ones.
+    """
+    l = pl.program_id(1)
+    dt = compute_dtype
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a.astype(dt), w.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    t_dim, c = x_s.shape
+
+    @pl.when(l == 0)
+    def _():
+        x_s[:] = h0_ref[0]
+        # Shift-half head rows: zero once; never overwritten afterwards
+        # (the static x write starts at row maxd, the dynamic write only
+        # touches the current-half columns).
+        xcat_s[pl.ds(0, max_d), c:] = jnp.zeros(
+            (max_d, c), dtype=jnp.float32
+        )
+
+    d = dils_ref[l]
+    x = x_s[:]
+    xcat_s[pl.ds(max_d, t_dim), c:] = x          # shift half (static row)
+    xcat_s[pl.ds(max_d - d, t_dim), :c] = x      # current half (dynamic row)
+    xcat = xcat_s[pl.ds(max_d - d, t_dim), :]
+    pre = mm(xcat, wcp_ref[0]) + b_ref[0, 0]
+    if cond_ref is not None:
+        pre = pre + mm(cond_ref[0], wcond_ref[0])
+    g = pre.shape[-1] // 2
+    z = jnp.tanh(pre[:, :g]) * jax.nn.sigmoid(pre[:, g:])
+    z_ref[0, 0] = z.astype(z_ref.dtype)
+    x_s[:] = x + mm(z, wr_ref[0]) + br_ref[0, 0]
+    contrib = mm(z, ws_ref[0]) + bs_ref[0, 0]
+
+    @pl.when(l == 0)
+    def _():
+        skip_s[:] = contrib
+
+    @pl.when(l > 0)
+    def _():
+        skip_s[:] = skip_s[:] + contrib
+
+    @pl.when(l == n_layers - 1)
+    def _():
+        skip_ref[0] = skip_s[:]
+        xfin_ref[0] = x_s[:]
+
+
+def _bwd_kernel_tc(
+    dils_ref,                      # (L,) scalar prefetch (forward order)
+    gskip_ref,                     # (1, T, S)
+    xfin_ref,                      # (1, T, C)
+    z_ref,                         # (1, 1, T, G) of layer lr
+    wcp_ref, b_ref,                # (1,2C,2G) (1,1,2G)
+    wr_ref, br_ref,                # (1,G,C) (1,1,C)
+    wcT_ref, wpT_ref,              # (1,2G,C) x2
+    wrT_ref, wsT_ref,              # (1,C,G) (1,S,G)
+    cond_ref, wcond_ref, wcondT_ref,  # or None
+    # outputs
+    dh0_ref,                       # (1, T, C)
+    dwcp_ref, db_ref,              # (L,2C,2G) [dwc; dwp] merged, (L,1,2G)
+    dwr_ref, dbr_ref,              # (L,G,C) (L,1,C)
+    dws_ref, dbs_ref,              # (L,G,S) (L,1,S)
+    dcond_ref, dwcond_ref,         # or None
+    # scratch
+    x_s, dx_s, stage_s, xcat_s,
+    dwcp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s, dwcond_s, dcond_s,
+    *,
+    compute_dtype,
+    n_layers: int,
+    max_d: int,
+):
+    """Tap-concat backward: the recompute uses the K=2C merged matmul and
+    the two tap weight-gradients become ONE M=2C contraction
+    ([x | shift(x)]^T @ dpre) — the default's two M=C contractions each
+    fill only half the MXU's row dimension. xcat uses the same padded
+    (T+maxd, 2C) layout as the forward (one write per column half);
+    stage_s (T+maxd, C) serves the dproj left-shift."""
+    li = pl.program_id(1)
+    b_id = pl.program_id(0)
+    dt = compute_dtype
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a.astype(dt), w.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mmT(a, bmat):
+        return jax.lax.dot_general(
+            a.astype(dt), bmat.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    t_dim, c_dim = x_s.shape
+    first = jnp.logical_and(b_id == 0, li == 0)
+
+    @pl.when(first)
+    def _():
+        dwcp_s[:] = jnp.zeros_like(dwcp_s)
+        db_s[:] = jnp.zeros_like(db_s)
+        dwr_s[:] = jnp.zeros_like(dwr_s)
+        dbr_s[:] = jnp.zeros_like(dbr_s)
+        dws_s[:] = jnp.zeros_like(dws_s)
+        dbs_s[:] = jnp.zeros_like(dbs_s)
+        if dwcond_s is not None:
+            dwcond_s[:] = jnp.zeros_like(dwcond_s)
+
+    @pl.when(li == 0)
+    def _():
+        x_s[:] = xfin_ref[0]
+        dx_s[:] = jnp.zeros_like(dx_s)
+        # dproj left-shift tail zeros + xcat shift-half head zeros: written
+        # once per batch row (never overwritten by the per-layer writes).
+        stage_s[pl.ds(t_dim, max_d)] = jnp.zeros(
+            (max_d, c_dim), dtype=jnp.float32
+        )
+        xcat_s[pl.ds(0, max_d), c_dim:] = jnp.zeros(
+            (max_d, c_dim), dtype=jnp.float32
+        )
+        if dcond_s is not None:
+            dcond_s[:] = jnp.zeros_like(dcond_s)
+
+    d = dils_ref[n_layers - 1 - li]
+    z = z_ref[0, 0]
+    dx_next = dx_s[:]
+    gskip = gskip_ref[0]
+
+    x_cur = x_s[:] - mm(z, wr_ref[0]) - br_ref[0, 0]
+    x_s[:] = x_cur
+
+    # Recompute pre via the merged tap contraction (bitwise the same pre as
+    # the tapcat forward: identical operands, identical K order).
+    xcat_s[pl.ds(max_d, t_dim), c_dim:] = x_cur
+    xcat_s[pl.ds(max_d - d, t_dim), :c_dim] = x_cur
+    xcat = xcat_s[pl.ds(max_d - d, t_dim), :]
+    pre = mm(xcat, wcp_ref[0]) + b_ref[0, 0]
+    if cond_ref is not None:
+        pre = pre + mm(cond_ref[0], wcond_ref[0])
+    g = pre.shape[-1] // 2
+    tanh_v = jnp.tanh(pre[:, :g])
+    sig_v = jax.nn.sigmoid(pre[:, g:])
+
+    dz = mm(gskip, wsT_ref[0]) + mm(dx_next, wrT_ref[0])
+    dpre = jnp.concatenate(
+        [
+            dz * sig_v * (1.0 - tanh_v * tanh_v),
+            dz * tanh_v * sig_v * (1.0 - sig_v),
+        ],
+        axis=-1,
+    )
+
+    # dx: residual passthrough + both tap adjoints.
+    dproj_p = mm(dpre, wpT_ref[0])
+    stage_s[pl.ds(0, t_dim)] = dproj_p
+    dx_cur = dx_next + mm(dpre, wcT_ref[0]) + stage_s[pl.ds(d, t_dim)]
+    dx_s[:] = dx_cur
+
+    lr = n_layers - 1 - li
+    row_cp = lr * 2 * c_dim
+    g_dim = z.shape[-1]
+    row_g = lr * g_dim
+    # Merged tap weight grads: one M=2C, K=T contraction.
+    dwcp_s[pl.ds(row_cp, 2 * c_dim)] = (
+        dwcp_s[pl.ds(row_cp, 2 * c_dim)] + mmT(xcat, dpre)
+    )
+    db_s[pl.ds(lr, 1)] = db_s[pl.ds(lr, 1)] + jnp.sum(
+        dpre, axis=0, keepdims=True
+    )
+    dwr_s[pl.ds(row_g, g_dim)] = dwr_s[pl.ds(row_g, g_dim)] + mmT(z, dx_next)
+    dbr_s[pl.ds(lr, 1)] = dbr_s[pl.ds(lr, 1)] + jnp.sum(
+        dx_next, axis=0, keepdims=True
+    )
+    dws_s[pl.ds(row_g, g_dim)] = dws_s[pl.ds(row_g, g_dim)] + mmT(z, gskip)
+    dbs_s[pl.ds(lr, 1)] = dbs_s[pl.ds(lr, 1)] + jnp.sum(
+        gskip, axis=0, keepdims=True
+    )
+    if cond_ref is not None:
+        cc = cond_ref.shape[-1]
+        row_cc = lr * cc
+        dwcond_s[pl.ds(row_cc, cc)] = dwcond_s[pl.ds(row_cc, cc)] + mmT(
+            cond_ref[0], dpre
+        )
+        dcond_s[:] = dcond_s[:] + mm(dpre, wcondT_ref[0])
+
+    @pl.when(li == n_layers - 1)
+    def _():
+        dh0_ref[0] = dx_s[:]
+        if dcond_ref is not None:
+            dcond_ref[0] = dcond_s[:]
+
+    last = jnp.logical_and(
+        b_id == pl.num_programs(0) - 1, li == n_layers - 1
+    )
+
+    @pl.when(last)
+    def _():
+        dwcp_ref[:] = dwcp_s[:].reshape(dwcp_ref.shape)
+        db_ref[:] = db_s[:].reshape(db_ref.shape)
+        dwr_ref[:] = dwr_s[:].reshape(dwr_ref.shape)
+        dbr_ref[:] = dbr_s[:].reshape(dbr_ref.shape)
+        dws_ref[:] = dws_s[:].reshape(dws_ref.shape)
+        dbs_ref[:] = dbs_s[:].reshape(dbs_ref.shape)
+        if dwcond_ref is not None:
+            dwcond_ref[:] = dwcond_s[:].reshape(dwcond_ref.shape)
 
 
 def _bwd_kernel(
@@ -304,7 +538,7 @@ def _lyr(shape, rev=False):
     )
 
 
-def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret):
+def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret, tapcat=False):
     L = len(arch.dilations)
     bsz, t_dim, c = h0.shape
     two_g = lp["w_cur"].shape[-1]
@@ -314,26 +548,61 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret):
     dt = jnp.dtype(arch.compute_dtype)
     dils = jnp.asarray(arch.dilations, jnp.int32)
 
-    in_specs = [
-        _row((t_dim, c)),
-        _lyr((c, two_g)), _lyr((c, two_g)), _lyr((1, two_g)),
-        _lyr((gch, c)), _lyr((1, c)),
-        _lyr((gch, s)), _lyr((1, s)),
-    ]
-    args = [
-        h0,
-        lp["w_cur"], lp["w_prev"], lp["b"][:, None, :],
-        lp["w_res"], lp["b_res"][:, None, :],
-        lp["w_skip"], lp["b_skip"][:, None, :],
-    ]
+    if tapcat:
+        # Stacked tap weight: one (2C, 2G) full-depth contraction per layer.
+        wcp = jnp.concatenate([lp["w_cur"], lp["w_prev"]], axis=1)
+        in_specs = [
+            _row((t_dim, c)),
+            _lyr((2 * c, two_g)), _lyr((1, two_g)),
+            _lyr((gch, c)), _lyr((1, c)),
+            _lyr((gch, s)), _lyr((1, s)),
+        ]
+        args = [
+            h0,
+            wcp, lp["b"][:, None, :],
+            lp["w_res"], lp["b_res"][:, None, :],
+            lp["w_skip"], lp["b_skip"][:, None, :],
+        ]
+        scratch = [
+            pltpu.VMEM((t_dim, c), jnp.float32),
+            pltpu.VMEM((t_dim, s), jnp.float32),
+            pltpu.VMEM((t_dim + max_d, 2 * c), jnp.float32),
+        ]
+    else:
+        in_specs = [
+            _row((t_dim, c)),
+            _lyr((c, two_g)), _lyr((c, two_g)), _lyr((1, two_g)),
+            _lyr((gch, c)), _lyr((1, c)),
+            _lyr((gch, s)), _lyr((1, s)),
+        ]
+        args = [
+            h0,
+            lp["w_cur"], lp["w_prev"], lp["b"][:, None, :],
+            lp["w_res"], lp["b_res"][:, None, :],
+            lp["w_skip"], lp["b_skip"][:, None, :],
+        ]
+        scratch = [
+            pltpu.VMEM((t_dim, c), jnp.float32),
+            pltpu.VMEM((t_dim, s), jnp.float32),
+            pltpu.VMEM((t_dim + max_d, two_g), jnp.float32),
+        ]
     has_cond = cond is not None
     if has_cond:
         cc = lp["w_cond"].shape[1]
         in_specs += [_row((t_dim, cc)), _lyr((cc, two_g))]
         args += [cond, lp["w_cond"]]
         kernel = functools.partial(
-            _fwd_kernel, compute_dtype=dt, n_layers=L, max_d=max_d
+            _fwd_kernel_tc if tapcat else _fwd_kernel,
+            compute_dtype=dt, n_layers=L, max_d=max_d,
         )
+    elif tapcat:
+        def kernel(dils_r, h0_r, wcp_r, bb, wr, br, ws, bs, z_r, skip_r,
+                   xfin_r, x_s, skip_s, xcat_s):
+            return _fwd_kernel_tc(
+                dils_r, h0_r, wcp_r, bb, wr, br, ws, bs, None, None,
+                z_r, skip_r, xfin_r, x_s, skip_s, xcat_s,
+                compute_dtype=dt, n_layers=L, max_d=max_d,
+            )
     else:
         def kernel(dils_r, h0_r, wc, wp, bb, wr, br, ws, bs, z_r, skip_r,
                    xfin_r, x_s, skip_s, stage_s):
@@ -358,11 +627,7 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret):
                 _row((t_dim, s)),
                 _row((t_dim, c)),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((t_dim, c), jnp.float32),
-                pltpu.VMEM((t_dim, s), jnp.float32),
-                pltpu.VMEM((t_dim + max_d, two_g), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bsz, L, t_dim, gch), dt),
@@ -376,7 +641,7 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret):
 
 
 def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
-              interpret):
+              interpret, tapcat=False):
     L = len(arch.dilations)
     bsz, t_dim, c = h0.shape
     two_g = lp["w_cur"].shape[-1]
@@ -389,29 +654,47 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
     def tr(x):
         return jnp.swapaxes(x, -1, -2)
 
-    in_specs = [
-        _row((t_dim, s)),                       # g_skip
-        _row((t_dim, c)),                       # x_final
-        pl.BlockSpec(                           # z of layer L-1-l
-            (1, 1, t_dim, gch),
-            lambda b, l, *_: (b, pl.num_programs(1) - 1 - l, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        _lyr((c, two_g), rev=True), _lyr((c, two_g), rev=True),
-        _lyr((1, two_g), rev=True),
-        _lyr((gch, c), rev=True), _lyr((1, c), rev=True),
-        _lyr((two_g, c), rev=True), _lyr((two_g, c), rev=True),  # wcT wpT
-        _lyr((c, gch), rev=True),                                # wrT
-        _lyr((s, gch), rev=True),                                # wsT
-    ]
-    args = [
-        g_skip, x_final, z_all,
-        lp["w_cur"], lp["w_prev"], lp["b"][:, None, :],
-        lp["w_res"], lp["b_res"][:, None, :],
-        tr(lp["w_cur"]), tr(lp["w_prev"]),
-        tr(lp["w_res"]),
-        tr(lp["w_skip"]),
-    ]
+    z_spec = pl.BlockSpec(                      # z of layer L-1-l
+        (1, 1, t_dim, gch),
+        lambda b, l, *_: (b, pl.num_programs(1) - 1 - l, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if tapcat:
+        wcp = jnp.concatenate([lp["w_cur"], lp["w_prev"]], axis=1)
+        in_specs = [
+            _row((t_dim, s)), _row((t_dim, c)), z_spec,
+            _lyr((2 * c, two_g), rev=True), _lyr((1, two_g), rev=True),
+            _lyr((gch, c), rev=True), _lyr((1, c), rev=True),
+            _lyr((two_g, c), rev=True), _lyr((two_g, c), rev=True),
+            _lyr((c, gch), rev=True),
+            _lyr((s, gch), rev=True),
+        ]
+        args = [
+            g_skip, x_final, z_all,
+            wcp, lp["b"][:, None, :],
+            lp["w_res"], lp["b_res"][:, None, :],
+            tr(lp["w_cur"]), tr(lp["w_prev"]),
+            tr(lp["w_res"]),
+            tr(lp["w_skip"]),
+        ]
+    else:
+        in_specs = [
+            _row((t_dim, s)), _row((t_dim, c)), z_spec,
+            _lyr((c, two_g), rev=True), _lyr((c, two_g), rev=True),
+            _lyr((1, two_g), rev=True),
+            _lyr((gch, c), rev=True), _lyr((1, c), rev=True),
+            _lyr((two_g, c), rev=True), _lyr((two_g, c), rev=True),
+            _lyr((c, gch), rev=True),
+            _lyr((s, gch), rev=True),
+        ]
+        args = [
+            g_skip, x_final, z_all,
+            lp["w_cur"], lp["w_prev"], lp["b"][:, None, :],
+            lp["w_res"], lp["b_res"][:, None, :],
+            tr(lp["w_cur"]), tr(lp["w_prev"]),
+            tr(lp["w_res"]),
+            tr(lp["w_skip"]),
+        ]
     has_cond = cond is not None
     cc = lp["w_cond"].shape[1] if has_cond else 0
     if has_cond:
@@ -422,16 +705,24 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
         ]
         args += [cond, lp["w_cond"], tr(lp["w_cond"])]
 
+    if tapcat:
+        tap_out_specs = [_whole((L, 2 * c, two_g))]
+        tap_out_shape = [jax.ShapeDtypeStruct((L, 2 * c, two_g), jnp.float32)]
+    else:
+        tap_out_specs = [_whole((L, c, two_g)), _whole((L, c, two_g))]
+        tap_out_shape = [
+            jax.ShapeDtypeStruct((L, c, two_g), jnp.float32),
+            jax.ShapeDtypeStruct((L, c, two_g), jnp.float32),
+        ]
     out_specs = [
         _row((t_dim, c)),                       # dh0
-        _whole((L, c, two_g)), _whole((L, c, two_g)), _whole((L, 1, two_g)),
+        *tap_out_specs, _whole((L, 1, two_g)),
         _whole((L, gch, c)), _whole((L, 1, c)),
         _whole((L, gch, s)), _whole((L, 1, s)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((bsz, t_dim, c), jnp.float32),
-        jax.ShapeDtypeStruct((L, c, two_g), jnp.float32),
-        jax.ShapeDtypeStruct((L, c, two_g), jnp.float32),
+        *tap_out_shape,
         jax.ShapeDtypeStruct((L, 1, two_g), jnp.float32),
         jax.ShapeDtypeStruct((L, gch, c), jnp.float32),
         jax.ShapeDtypeStruct((L, 1, c), jnp.float32),
@@ -445,27 +736,55 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
             jax.ShapeDtypeStruct((L, cc, two_g), jnp.float32),
         ]
 
-    scratch = [
-        pltpu.VMEM((t_dim, c), jnp.float32),            # x_s
-        pltpu.VMEM((t_dim, c), jnp.float32),            # dx_s
-        pltpu.VMEM((t_dim + max_d, two_g), jnp.float32),  # stage_s
-        pltpu.VMEM((t_dim + max_d, c), jnp.float32),    # stage2_s
-        pltpu.VMEM((L * c, two_g), jnp.float32),        # dwc
-        pltpu.VMEM((L * c, two_g), jnp.float32),        # dwp
-        pltpu.VMEM((L, two_g), jnp.float32),            # db
-        pltpu.VMEM((L * gch, c), jnp.float32),          # dwr
-        pltpu.VMEM((L, c), jnp.float32),                # dbr
-        pltpu.VMEM((L * gch, s), jnp.float32),          # dws
-        pltpu.VMEM((L, s), jnp.float32),                # dbs
-    ]
+    if tapcat:
+        scratch = [
+            pltpu.VMEM((t_dim, c), jnp.float32),            # x_s
+            pltpu.VMEM((t_dim, c), jnp.float32),            # dx_s
+            pltpu.VMEM((t_dim + max_d, c), jnp.float32),    # stage_s (dproj)
+            pltpu.VMEM((t_dim + max_d, 2 * c), jnp.float32),  # xcat_s
+            pltpu.VMEM((L * 2 * c, two_g), jnp.float32),    # dwcp
+            pltpu.VMEM((L, two_g), jnp.float32),            # db
+            pltpu.VMEM((L * gch, c), jnp.float32),          # dwr
+            pltpu.VMEM((L, c), jnp.float32),                # dbr
+            pltpu.VMEM((L * gch, s), jnp.float32),          # dws
+            pltpu.VMEM((L, s), jnp.float32),                # dbs
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((t_dim, c), jnp.float32),            # x_s
+            pltpu.VMEM((t_dim, c), jnp.float32),            # dx_s
+            pltpu.VMEM((t_dim + max_d, two_g), jnp.float32),  # stage_s
+            pltpu.VMEM((t_dim + max_d, c), jnp.float32),    # stage2_s
+            pltpu.VMEM((L * c, two_g), jnp.float32),        # dwc
+            pltpu.VMEM((L * c, two_g), jnp.float32),        # dwp
+            pltpu.VMEM((L, two_g), jnp.float32),            # db
+            pltpu.VMEM((L * gch, c), jnp.float32),          # dwr
+            pltpu.VMEM((L, c), jnp.float32),                # dbr
+            pltpu.VMEM((L * gch, s), jnp.float32),          # dws
+            pltpu.VMEM((L, s), jnp.float32),                # dbs
+        ]
     if has_cond:
         scratch += [
             pltpu.VMEM((L * cc, two_g), jnp.float32),   # dwcond
             pltpu.VMEM((t_dim, cc), jnp.float32),       # dcond
         ]
         kernel = functools.partial(
-            _bwd_kernel, compute_dtype=dt, n_layers=L, max_d=max_d
+            _bwd_kernel_tc if tapcat else _bwd_kernel,
+            compute_dtype=dt, n_layers=L, max_d=max_d,
         )
+    elif tapcat:
+        def kernel(dils_r, gs, xf, zr, wcp_r, bb, wr, br, wcT, wpT, wrT, wsT,
+                   dh0, dwcp, db, dwr, dbr, dws, dbs,
+                   x_s, dx_s, st1, xcat_s,
+                   dwcp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s):
+            return _bwd_kernel_tc(
+                dils_r, gs, xf, zr, wcp_r, bb, wr, br, wcT, wpT, wrT, wsT,
+                None, None, None,
+                dh0, dwcp, db, dwr, dbr, dws, dbs, None, None,
+                x_s, dx_s, st1, xcat_s,
+                dwcp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s, None, None,
+                compute_dtype=dt, n_layers=L, max_d=max_d,
+            )
     else:
         def kernel(dils_r, gs, xf, zr, wc, wp, bb, wr, br, wcT, wpT, wrT, wsT,
                    dh0, dwc, dwp, db, dwr, dbr, dws, dbs,
@@ -496,19 +815,28 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
     return outs
 
 
-def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False):
+def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False,
+                     tapcat: Optional[bool] = None):
     """Build the custom-VJP fused stack for `arch`.
 
     Returns fn(lp_subset, h0, cond) -> skip_sum where lp_subset is the
     layers dict (w_cur, w_prev, b, w_res, b_res, w_skip, b_skip[, w_cond])
     and cond is the upsampled (B, T, Cc) conditioning (or a dummy zeros
     array when has_cond=False; it gets a zero gradient).
+
+    tapcat: contract the two width-2 taps as ONE K=2C matmul on a VMEM
+    [x | shift(x)] concat (full MXU depth at C=64 archs instead of two
+    half-filled K=C ops; tap weight grads likewise merge to one M=2C
+    contraction). Same math to rounding (one fused accumulation instead of
+    xc + xp). Default from env WAVENET_TAPCAT (unset = off).
     """
+    if tapcat is None:
+        tapcat = os.environ.get("WAVENET_TAPCAT", "0") == "1"
 
     @jax.custom_vjp
     def fused(lp, h0, cond):
         _, skip, _ = _fwd_call(
-            lp, arch, h0, cond if has_cond else None, interpret
+            lp, arch, h0, cond if has_cond else None, interpret, tapcat
         )
         return skip
 
@@ -518,7 +846,7 @@ def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False):
         # einsum over the whole (B, L, T, G) z_all tensor: an extra L*G/C
         # ~ 30x HBM read per step, measured ~7% of the train step.)
         z_all, skip, x_final = _fwd_call(
-            lp, arch, h0, cond if has_cond else None, interpret
+            lp, arch, h0, cond if has_cond else None, interpret, tapcat
         )
         return skip, (lp, h0, cond, z_all, x_final)
 
@@ -526,9 +854,17 @@ def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False):
         lp, h0, cond, z_all, x_final = res
         outs = _bwd_call(
             lp, arch, h0, cond if has_cond else None, z_all, x_final,
-            g_skip, interpret,
+            g_skip, interpret, tapcat,
         )
-        if has_cond:
+        if tapcat:
+            c = h0.shape[-1]
+            if has_cond:
+                (dh0, dwcp, db, dwr, dbr, dws, dbs, dcond, dwcond) = outs
+            else:
+                (dh0, dwcp, db, dwr, dbr, dws, dbs) = outs
+                dcond = jnp.zeros_like(cond)
+            dwc, dwp = dwcp[:, :c], dwcp[:, c:]
+        elif has_cond:
             (dh0, dwc, dwp, db, dwr, dbr, dws, dbs, dcond, dwcond) = outs
         else:
             (dh0, dwc, dwp, db, dwr, dbr, dws, dbs) = outs

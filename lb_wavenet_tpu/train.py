@@ -118,7 +118,8 @@ def init_state(rng, arch: ArchConfig, train: TrainConfig) -> TrainState:
 
 
 def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
-            remat: bool = False, fused_stack: bool = False):
+            remat: bool = False, fused_stack: bool = False,
+            tapcat: bool = False):
     if fused_stack:
         logits = forward_fused(
             params,
@@ -126,6 +127,7 @@ def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
             batch["inputs"],
             cond_frames=batch.get("mel"),
             speaker_ids=batch.get("speaker"),
+            tapcat=tapcat,
         )
     else:
         logits = forward(
@@ -140,7 +142,7 @@ def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
 
 
 def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
-                  speaker_ids=None):
+                  speaker_ids=None, tapcat=None):
     """forward() with the dilated stack replaced by the fused Pallas
     training kernel (ops/pallas/train_stack.py). Same logits (parity-tested),
     ~3x less activation HBM traffic."""
@@ -177,7 +179,8 @@ def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
         )
     h0 = input_frontend(params, arch, x_classes, dtype)
     fused = make_fused_stack(
-        arch, has_cond=has_cond, interpret=jax.default_backend() == "cpu"
+        arch, has_cond=has_cond, interpret=jax.default_backend() == "cpu",
+        tapcat=tapcat,
     )
     skip_sum = fused(lp, h0, cond)
     return post_network(params, skip_sum, dtype)
@@ -209,7 +212,7 @@ def train_step(
 ):
     loss, grads = jax.value_and_grad(loss_fn)(
         state.params, arch, train.window_size, batch, train.remat,
-        train.fused_stack,
+        train.fused_stack, train.tapcat,
     )
     return _apply_updates(state, grads, train), loss
 

@@ -27,6 +27,7 @@ def main() -> int:
     from lb_wavenet_tpu.train import init_state, train_step
 
     fused = os.environ.get("TB_FUSED", "0") == "1"
+    tapcat = os.environ.get("TB_TAPCAT", "0") == "1"
     batch = int(os.environ.get("TB_BATCH", "8"))
     window = int(os.environ.get("TB_WINDOW", "4096"))
     n_steps = int(os.environ.get("TB_STEPS", "20"))
@@ -43,6 +44,7 @@ def main() -> int:
     )
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=fused,
+        tapcat=tapcat,
     )
     rng = jax.random.key(0)
     state = init_state(rng, arch, train)
@@ -79,7 +81,8 @@ def main() -> int:
         "value": round(sps, 1),
         "unit": "samples/sec/chip",
         "detail": {
-            "fused_stack": fused, "batch": batch, "window": window,
+            "fused_stack": fused, "tapcat": tapcat,
+            "batch": batch, "window": window,
             "mel": with_mel,
             "step_ms": round(step_ms, 2), "compile_s": round(compile_s, 1),
             "loss": round(loss, 4), "n_steps": n_steps,

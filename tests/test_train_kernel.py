@@ -51,9 +51,11 @@ def _setup(arch, with_cond=False, seed=0):
     return lp, h0, cond
 
 
-def test_fused_stack_forward_matches_xla():
+@pytest.mark.parametrize("tapcat", [False, True])
+def test_fused_stack_forward_matches_xla(tapcat):
     lp, h0, _ = _setup(MICRO)
-    fused = make_fused_stack(MICRO, has_cond=False, interpret=True)
+    fused = make_fused_stack(MICRO, has_cond=False, interpret=True,
+                             tapcat=tapcat)
     dummy = jnp.zeros((B, T, 1))
     got = fused(lp, h0, dummy)
     want = _xla_stack(lp, MICRO, h0)
@@ -62,9 +64,11 @@ def test_fused_stack_forward_matches_xla():
     )
 
 
-def test_fused_stack_grads_match_xla():
+@pytest.mark.parametrize("tapcat", [False, True])
+def test_fused_stack_grads_match_xla(tapcat):
     lp, h0, _ = _setup(MICRO, seed=3)
-    fused = make_fused_stack(MICRO, has_cond=False, interpret=True)
+    fused = make_fused_stack(MICRO, has_cond=False, interpret=True,
+                             tapcat=tapcat)
     dummy = jnp.zeros((B, T, 1))
     g = jax.random.normal(jax.random.key(9), (B, T, MICRO.skip_channels))
 
@@ -89,7 +93,8 @@ def test_fused_stack_grads_match_xla():
         )
 
 
-def test_fused_stack_conditioned_grads():
+@pytest.mark.parametrize("tapcat", [False, True])
+def test_fused_stack_conditioned_grads(tapcat):
     arch = ArchConfig(
         n_blocks=1,
         n_layers_per_block=3,
@@ -102,7 +107,8 @@ def test_fused_stack_conditioned_grads():
         compute_dtype="float32",
     )
     lp, h0, cond = _setup(arch, with_cond=True, seed=5)
-    fused = make_fused_stack(arch, has_cond=True, interpret=True)
+    fused = make_fused_stack(arch, has_cond=True, interpret=True,
+                             tapcat=tapcat)
     g = jax.random.normal(jax.random.key(11), (B, T, arch.skip_channels))
 
     def loss_fused(lp, h0, cond):
@@ -142,18 +148,19 @@ def test_fused_train_step_matches_xla_train_step():
         "mask": np.ones((2, w), np.float32),
     }
     losses, states = [], []
-    for fused in (False, True):
+    for fused, tapcat in ((False, False), (True, False), (True, True)):
         train = TrainConfig(batch_size=2, window_size=w, learning_rate=1e-3,
-                            fused_stack=fused)
+                            fused_stack=fused, tapcat=tapcat)
         state = shard_params(init_state(jax.random.key(0), MICRO, train), mesh)
         state, loss = train_step(state, shard_batch(raw, mesh), MICRO, train)
         losses.append(float(loss))
         states.append(state)
-    assert np.allclose(losses[0], losses[1], rtol=1e-5)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
-        ),
-        states[0].params,
-        states[1].params,
-    )
+    for i in (1, 2):
+        assert np.allclose(losses[0], losses[i], rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            ),
+            states[0].params,
+            states[i].params,
+        )
