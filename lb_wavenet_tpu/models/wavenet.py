@@ -166,10 +166,14 @@ def input_frontend(
 ) -> jnp.ndarray:
     """Embed classes and apply the width-K causal input conv. (B,T) -> (B,T,C).
 
-    `input_mask` (B, T) zeroes the embeddings of masked positions, making
-    them contribute exactly like the pre-sequence zero padding — the hook
-    sequence-parallel halo exchange uses to realize "no history" on the
-    first shard (parallel/halo.py).
+    `input_mask` (B, T) makes masked positions contribute exactly like the
+    pre-sequence zero padding — the hook sequence-parallel halo exchange
+    uses to realize "no history" on the first shard (parallel/halo.py).
+    Zeroing the embeddings alone is NOT enough: with nonzero biases a
+    masked row's activation would be the bias-propagated value, while the
+    unsharded forward's shift_right pads ACTIVATION zeros — so the frontend
+    output is re-masked here and forward() re-masks the residual stream
+    after every layer.
     """
     e = params["embed"][x_classes]  # (B, T, C)
     if input_mask is not None:
@@ -180,6 +184,8 @@ def input_frontend(
     h = h + sum(
         _mm(shift_right(e, k_taps - 1 - k), w[k], dtype) for k in range(k_taps)
     )
+    if input_mask is not None:
+        h = h * input_mask[..., None]
     return h
 
 
@@ -224,9 +230,16 @@ def forward(
 
     h = input_frontend(params, arch, x_classes, dtype, input_mask=input_mask)
     def one_layer(h, i, d):
-        return gated_unit(
+        h_new, z = gated_unit(
             h, shift_right(h, d), lp, i, dtype, cond=cond, gcond=gcond
         )
+        if input_mask is not None:
+            # Keep masked rows at EXACTLY zero through the whole stack so a
+            # dilated tap into the masked halo reads the same zeros the
+            # unsharded shift_right padding provides (biases would
+            # otherwise leak in; see input_frontend).
+            h_new = h_new * input_mask[..., None]
+        return h_new, z
 
     if remat:
         one_layer = jax.checkpoint(one_layer, static_argnums=(1, 2))

@@ -13,9 +13,12 @@ Why halo-of-inputs rather than per-layer halo-of-activations: one ppermute of
 WaveNet-30 that is ~250x less communication at the cost of (R-1)/chunk
 recompute (< 5 % for 64k-sample chunks). Dense local recompute is what the
 MXU is good at; collectives are what you minimize. Numerical identity with
-the unsharded forward is exact (tests/test_halo.py): the first shard zeroes
-its halo embeddings via `forward(..., input_mask=...)`, reproducing the
-pre-sequence zero padding bit-for-bit.
+the unsharded forward is exact (tests/test_halo.py): the first shard masks
+its halo via `forward(..., input_mask=...)`, which zeroes both the halo
+embeddings AND the residual stream at the masked rows after every layer —
+reproducing the pre-sequence zero padding bit-for-bit even with nonzero
+(trained) biases (zeroing embeddings alone leaks bias-propagated
+activations into the first interior taps; regression-tested).
 """
 from __future__ import annotations
 

@@ -39,6 +39,29 @@ def test_sp_logits_match_unsharded():
     )
 
 
+def test_sp_logits_match_with_nonzero_biases():
+    """Regression: trained-model regime (nonzero biases everywhere).
+
+    init_params zero-initializes biases, which HID a halo bug: zeroing
+    only the masked embeddings lets shard 0's halo rows carry
+    bias-propagated activations where the unsharded forward's shift_right
+    pads activation ZEROS — first caught with perturbed params (the
+    forward now re-masks the residual stream after every layer)."""
+    params, x, mesh = _setup()
+    params = jax.tree_util.tree_map(
+        lambda a: a
+        + 0.1 * jax.random.normal(jax.random.key(a.size % 997), a.shape),
+        params,
+    )
+    ref = jax.jit(lambda p, x: forward(p, MICRO, x))(params, x)
+    sp = jax.jit(
+        lambda p, x: sequence_parallel_logits(p, MICRO, x, mesh)
+    )(params, x)
+    np.testing.assert_allclose(
+        np.asarray(sp), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_sp_loss_and_grads_match_unsharded():
     params, x, mesh = _setup()
     targets = jax.random.randint(jax.random.key(2), (B, T), 0, 256)
