@@ -372,10 +372,23 @@ def cmd_export(args) -> int:
     from .utils.export import export_serving
 
     params = init_params(jax.random.key(0), cfg.arch)
+    batch = args.batch or cfg.gen.batch_size
+    if args.engine == "mega" and batch % 128 != 0:
+        raise SystemExit(
+            f"--engine mega needs batch % 128 == 0 (got {batch}); pass "
+            "--batch <multiple of 128> or --engine pallas"
+        )
+    if args.engine in ("pallas", "mega") and jax.default_backend() == "cpu":
+        print(
+            "warning: exporting a Pallas-engine artifact on the CPU backend "
+            "produces an interpret-mode artifact that cannot serve on TPU; "
+            "export on a TPU host for deployment",
+            file=sys.stderr,
+        )
     manifest = export_serving(
         params,
         cfg.arch,
-        batch=args.batch or cfg.gen.batch_size,
+        batch=batch,
         chunk_size=args.chunk,
         out_dir=args.out,
         engine=args.engine,

@@ -142,7 +142,7 @@ def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
 
 
 def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
-                  speaker_ids=None, tapcat=None):
+                  speaker_ids=None, tapcat=False):
     """forward() with the dilated stack replaced by the fused Pallas
     training kernel (ops/pallas/train_stack.py). Same logits (parity-tested),
     ~3x less activation HBM traffic."""

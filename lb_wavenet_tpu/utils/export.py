@@ -24,6 +24,7 @@ registration. Bit parity with the in-process streaming session
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 from typing import Optional
@@ -147,6 +148,8 @@ def export_serving(
         *step_args
     )
 
+    init_bytes = exp_init.serialize()
+    step_bytes = exp_step.serialize()
     manifest = {
         "artifact_version": ARTIFACT_VERSION,
         "arch": dataclasses.asdict(arch),
@@ -157,12 +160,21 @@ def export_serving(
         "with_cond": with_cond,
         "platforms": list(exp_step.platforms),
         "jax_version": jax.__version__,
+        # Bind the manifest to exactly these binaries: a crash between the
+        # per-file atomic writes (e.g. re-exporting over an old artifact)
+        # leaves a mixed-generation directory, which load_serving rejects
+        # by hash instead of serving the wrong function.
+        "sha256": {
+            _INIT: hashlib.sha256(init_bytes).hexdigest(),
+            _STEP: hashlib.sha256(step_bytes).hexdigest(),
+        },
     }
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, _INIT), "wb") as f:
-        f.write(exp_init.serialize())
-    with open(os.path.join(out_dir, _STEP), "wb") as f:
-        f.write(exp_step.serialize())
+    for name, data in ((_INIT, init_bytes), (_STEP, step_bytes)):
+        tmp = os.path.join(out_dir, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(out_dir, name))
     tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
@@ -207,8 +219,20 @@ def load_serving(path: str) -> ServingArtifact:
             f"artifact version {manifest['artifact_version']} != "
             f"{ARTIFACT_VERSION}"
         )
-    with open(os.path.join(path, _INIT), "rb") as f:
-        exp_init = jexport.deserialize(f.read())
-    with open(os.path.join(path, _STEP), "rb") as f:
-        exp_step = jexport.deserialize(f.read())
-    return ServingArtifact(manifest, exp_init, exp_step)
+    blobs = {}
+    for name in (_INIT, _STEP):
+        with open(os.path.join(path, name), "rb") as f:
+            blobs[name] = f.read()
+        got = hashlib.sha256(blobs[name]).hexdigest()
+        want = manifest["sha256"][name]
+        if got != want:
+            raise ValueError(
+                f"artifact {name} does not match its manifest hash "
+                f"(mixed-generation directory from an interrupted "
+                f"re-export?): {got[:12]} != {want[:12]}"
+            )
+    return ServingArtifact(
+        manifest,
+        jexport.deserialize(blobs[_INIT]),
+        jexport.deserialize(blobs[_STEP]),
+    )

@@ -124,6 +124,13 @@ def test_export_manifest_and_errors(tmp_path):
     with pytest.raises(ValueError, match="engines"):
         export_serving(params, ARCH, 2, 8, out_dir, engine="turbo")
 
+    # integrity guard: a mixed-generation / corrupted binary is rejected
+    with open(os.path.join(out_dir, "step.jaxexport"), "ab") as f:
+        f.write(b"garbage")
+    with pytest.raises(ValueError, match="manifest hash"):
+        load_serving(out_dir)
+    export_serving(params, ARCH, 2, 8, out_dir, engine="xla")  # re-export
+
     # version guard
     m["artifact_version"] = 999
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
