@@ -204,12 +204,18 @@ def forward(
     speaker_ids: Optional[jnp.ndarray] = None,
     input_mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    cond: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Teacher-forced forward: classes (B, T) -> logits (B, T, Q).
 
     logits[:, t] is the categorical distribution over sample t+1. The layer
     loop is unrolled in Python (L is static and small) so every dilation's
     shift lowers to a pad/slice and every matmul hits the MXU.
+
+    Conditioning comes either as frame-rate `cond_frames` (upsampled here)
+    or as pre-upsampled sample-rate `cond` (B, T, Cc) — the hook the
+    sequence-parallel path uses, where the upsampling runs globally and
+    each time shard passes its halo-extended cond slice.
 
     remat=True wraps each gated layer in jax.checkpoint: activations are
     recomputed in the backward pass, cutting peak activation memory ~L-fold
@@ -218,7 +224,8 @@ def forward(
     """
     dtype = jnp.dtype(arch.compute_dtype)
     lp = params["layers"]
-    cond = None
+    if cond is not None and cond_frames is not None:
+        raise ValueError("pass cond_frames OR pre-upsampled cond, not both")
     if cond_frames is not None:
         from .conditioning import upsample_cond
 

@@ -34,10 +34,14 @@ from ..config import ArchConfig
 from ..models.wavenet import forward
 
 
-def _sp_local_logits(params, x_local, *, arch: ArchConfig, axis_name: str):
+def _sp_local_logits(params, x_local, cond_local=None, speaker_ids=None, *,
+                     arch: ArchConfig, axis_name: str):
     """Logits for this shard's chunk, exact vs the unsharded forward.
 
-    x_local: (B, T_local) classes. Returns (B, T_local, Q).
+    x_local: (B, T_local) classes; cond_local: optional (B, T_local, Cc)
+    pre-upsampled conditioning (same time sharding — its halo rides the
+    same neighbor ring); speaker_ids: optional (B,), replicated (the
+    speaker embedding is time-independent). Returns (B, T_local, Q).
     """
     r = arch.receptive_field
     halo = r - 1
@@ -45,12 +49,19 @@ def _sp_local_logits(params, x_local, *, arch: ArchConfig, axis_name: str):
     idx = jax.lax.axis_index(axis_name)
 
     # Right-shift ring: shard i receives the last `halo` samples of shard
-    # i-1. Shard 0 receives shard n-1's tail (wraparound) and masks it out.
-    src_tail = x_local[:, -halo:]
-    recv = jax.lax.ppermute(
-        src_tail, axis_name, perm=[(i, (i + 1) % n) for i in range(n)]
-    )
+    # i-1. Shard 0 receives shard n-1's tail (wraparound) and masks it out
+    # (the mask zeroes the residual stream at those rows after every
+    # layer, so wraparound garbage — including its cond — never reaches an
+    # interior tap).
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    recv = jax.lax.ppermute(x_local[:, -halo:], axis_name, perm=perm)
     x_ext = jnp.concatenate([recv, x_local], axis=1)
+    cond_ext = None
+    if cond_local is not None:
+        recv_c = jax.lax.ppermute(
+            cond_local[:, -halo:], axis_name, perm=perm
+        )
+        cond_ext = jnp.concatenate([recv_c, cond_local], axis=1)
     mask = jnp.concatenate(
         [
             jnp.broadcast_to(
@@ -60,8 +71,25 @@ def _sp_local_logits(params, x_local, *, arch: ArchConfig, axis_name: str):
         ],
         axis=1,
     )
-    logits_ext = forward(params, arch, x_ext, input_mask=mask)
+    logits_ext = forward(
+        params, arch, x_ext, input_mask=mask, cond=cond_ext,
+        speaker_ids=speaker_ids,
+    )
     return logits_ext[:, halo:]
+
+
+def _upsample_for_sp(params, arch: ArchConfig, cond_frames, t: int):
+    """Global (unsharded) cond upsampling for the SP paths: frames are
+    frame-rate (hop x smaller than samples), so upsampling once outside
+    shard_map costs little and keeps the per-shard slices exactly equal to
+    the unsharded forward's cond."""
+    from ..models.conditioning import upsample_cond
+
+    cond = upsample_cond(
+        params["upsampler"], arch, cond_frames,
+        jnp.dtype(arch.compute_dtype),
+    )
+    return cond[:, :t]
 
 
 def _check_chunking(arch: ArchConfig, t: int, mesh: Mesh, axis_name: str):
@@ -86,21 +114,45 @@ def sequence_parallel_logits(
     x: jnp.ndarray,  # (B, T) with T divisible by the seq-axis size
     mesh: Mesh,
     axis_name: str = "data",
+    cond_frames: Optional[jnp.ndarray] = None,  # (B, F, n_mels) frame rate
+    speaker_ids: Optional[jnp.ndarray] = None,  # (B,)
 ) -> jnp.ndarray:
     """Time-sharded teacher-forced forward over `mesh[axis_name]`.
 
     Batch stays replicated across the sequence axis; the time dimension of
     both input and output is sharded. Equivalent to `forward(params, arch, x)`
-    up to float associativity (exact in fp32 tests).
+    up to float associativity (exact in fp32 tests). Conditioning: mel
+    frames upsample globally (they are hop_size x smaller than samples) and
+    the sample-rate cond shards over time with the same halo ring; speaker
+    embeddings are time-independent and stay replicated.
     """
     _check_chunking(arch, x.shape[1], mesh, axis_name)
+    cond = (
+        _upsample_for_sp(params, arch, cond_frames, x.shape[1])
+        if cond_frames is not None else None
+    )
+    args, specs = [params, x], [P(), P(None, axis_name)]
+    has_cond, has_spk = cond is not None, speaker_ids is not None
+    if has_cond:
+        args.append(cond)
+        specs.append(P(None, axis_name, None))
+    if has_spk:
+        args.append(speaker_ids)
+        specs.append(P())
+
+    def local(params, x_l, *rest):
+        it = iter(rest)
+        cond_l = next(it) if has_cond else None
+        spk = next(it) if has_spk else None
+        return _sp_local_logits(
+            params, x_l, cond_l, spk, arch=arch, axis_name=axis_name
+        )
+
     fn = shard_map(
-        functools.partial(_sp_local_logits, arch=arch, axis_name=axis_name),
-        mesh=mesh,
-        in_specs=(P(), P(None, axis_name)),
+        local, mesh=mesh, in_specs=tuple(specs),
         out_specs=P(None, axis_name, None),
     )
-    return fn(params, x)
+    return fn(*args)
 
 
 def sequence_parallel_loss(
@@ -111,18 +163,39 @@ def sequence_parallel_loss(
     loss_mask: jnp.ndarray,  # (B, T) 1 where the position is trained
     mesh: Mesh,
     axis_name: str = "data",
+    cond_frames: Optional[jnp.ndarray] = None,  # (B, F, n_mels)
+    speaker_ids: Optional[jnp.ndarray] = None,  # (B,)
 ) -> jnp.ndarray:
     """Masked CE over a time-sharded long window (mean over unmasked).
 
     Unlike the windowed path (targets only for the last W logits), the
     sequence-parallel path scores EVERY position and relies on loss_mask to
     exclude positions without full receptive field — the natural formulation
-    when one utterance spans the whole mesh axis.
+    when one utterance spans the whole mesh axis. Mel/speaker conditioning
+    as in sequence_parallel_logits.
     """
     _check_chunking(arch, x.shape[1], mesh, axis_name)
+    cond = (
+        _upsample_for_sp(params, arch, cond_frames, x.shape[1])
+        if cond_frames is not None else None
+    )
+    args = [params, x, targets, loss_mask]
+    specs = [P(), P(None, axis_name), P(None, axis_name), P(None, axis_name)]
+    has_cond, has_spk = cond is not None, speaker_ids is not None
+    if has_cond:
+        args.append(cond)
+        specs.append(P(None, axis_name, None))
+    if has_spk:
+        args.append(speaker_ids)
+        specs.append(P())
 
-    def local(params, x_l, tgt_l, m_l):
-        logits = _sp_local_logits(params, x_l, arch=arch, axis_name=axis_name)
+    def local(params, x_l, tgt_l, m_l, *rest):
+        it = iter(rest)
+        cond_l = next(it) if has_cond else None
+        spk = next(it) if has_spk else None
+        logits = _sp_local_logits(
+            params, x_l, cond_l, spk, arch=arch, axis_name=axis_name
+        )
         ce = -jax.nn.log_softmax(logits, axis=-1)
         ce = jnp.take_along_axis(ce, tgt_l[..., None], axis=-1)[..., 0]
         num = jax.lax.psum(jnp.sum(ce * m_l), axis_name)
@@ -130,14 +203,6 @@ def sequence_parallel_loss(
         return num / jnp.maximum(den, 1.0)
 
     fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(),
-            P(None, axis_name),
-            P(None, axis_name),
-            P(None, axis_name),
-        ),
-        out_specs=P(),
+        local, mesh=mesh, in_specs=tuple(specs), out_specs=P(),
     )
-    return fn(params, x, targets, loss_mask)
+    return fn(*args)

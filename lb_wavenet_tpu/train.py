@@ -233,6 +233,8 @@ def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
             return sequence_parallel_loss(
                 params, arch, batch["inputs"], batch["targets"],
                 batch["mask"], mesh,
+                cond_frames=batch.get("mel"),
+                speaker_ids=batch.get("speaker"),
             )
 
         loss, grads = jax.value_and_grad(lf)(state.params)
@@ -241,13 +243,18 @@ def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
     return step
 
 
-def seq_batch_to_device(batch: Batch, mesh, window_size: int) -> dict:
+def seq_batch_to_device(batch: Batch, mesh, window_size: int,
+                        arch: Optional[ArchConfig] = None) -> dict:
     """Time-sharded placement for sequence-parallel training.
 
     Expands the windowed (targets, mask) over the full input length — only
     the last `window_size` positions train, exactly as masked_loss scores
     them — and zero-pads time up to a multiple of the seq-axis size (padded
     positions are later in time, hence causally inert, and zero-masked).
+    Mel frames stay REPLICATED (they are hop_size x smaller than samples;
+    the loss upsamples them globally and time-shards the result), padded
+    with zero frames to cover the padded length — numerically identical to
+    the upsampler's own SAME zero padding for the real region.
     """
     from .parallel.mesh import DATA_AXIS
 
@@ -262,11 +269,31 @@ def seq_batch_to_device(batch: Batch, mesh, window_size: int) -> dict:
     msk = np.zeros((b, tp), np.float32)
     msk[:, t - window_size : t] = batch.mask
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
-    return {
+    out = {
         "inputs": jax.device_put(inp, sharding),
         "targets": jax.device_put(tgt, sharding),
         "mask": jax.device_put(msk, sharding),
     }
+    replicated = NamedSharding(mesh, P())
+    if batch.mel is not None:
+        mel = np.asarray(batch.mel)
+        f_needed = -(-tp // arch.hop_size)
+        if mel.shape[1] < f_needed:
+            mel = np.concatenate(
+                [
+                    mel,
+                    np.zeros(
+                        (b, f_needed - mel.shape[1], mel.shape[2]), mel.dtype
+                    ),
+                ],
+                axis=1,
+            )
+        out["mel"] = jax.device_put(mel, replicated)
+    if batch.speaker is not None:
+        out["speaker"] = jax.device_put(
+            np.asarray(batch.speaker), replicated
+        )
+    return out
 
 
 def batch_to_device(batch: Batch, mesh, arch: ArchConfig) -> dict:
@@ -302,11 +329,6 @@ def run_training(
 
     sp_step = None
     if train.seq_parallel:
-        if arch.use_local_cond or arch.use_global_cond:
-            raise ValueError(
-                "seq_parallel supports unconditioned archs only (the halo "
-                "exchange does not carry conditioning streams yet)"
-            )
         if train.fused_stack:
             raise ValueError(
                 "seq_parallel uses the XLA forward; set fused_stack=false"
@@ -344,7 +366,7 @@ def run_training(
     for i in range(start_step, total):
         if sp_step is not None:
             batch = seq_batch_to_device(
-                next(batches), mesh, train.window_size
+                next(batches), mesh, train.window_size, arch=arch
             )
             state, loss = sp_step(state, batch)
         else:

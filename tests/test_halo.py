@@ -91,6 +91,46 @@ def test_sp_loss_and_grads_match_unsharded():
     )
 
 
+def test_sp_conditioned_logits_match_unsharded():
+    """Mel + speaker conditioned SP == unsharded forward, with perturbed
+    (trained-regime) params. Cond upsamples globally and time-shards with
+    the same halo ring; the speaker embedding stays replicated."""
+    from lb_wavenet_tpu.config import ArchConfig
+
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8, n_mels=8, cond_channels=8,
+        upsample_factors=(2, 4), n_speakers=3, speaker_embed_dim=8,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    params = jax.tree_util.tree_map(
+        lambda a: a
+        + 0.1 * jax.random.normal(jax.random.key(a.size % 997), a.shape),
+        params,
+    )
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    t = 128  # 32/shard >= halo 8
+    x = jax.random.randint(jax.random.key(1), (B, t), 0, 256)
+    frames = jax.random.normal(
+        jax.random.key(2), (B, t // arch.hop_size, arch.n_mels)
+    )
+    spk = jnp.array([0, 2], jnp.int32)
+    ref = jax.jit(
+        lambda p, x, f, s: forward(
+            p, arch, x, cond_frames=f, speaker_ids=s
+        )
+    )(params, x, frames, spk)
+    sp = jax.jit(
+        lambda p, x, f, s: sequence_parallel_logits(
+            p, arch, x, mesh, cond_frames=f, speaker_ids=s
+        )
+    )(params, x, frames, spk)
+    np.testing.assert_allclose(
+        np.asarray(sp), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_sp_rejects_short_chunks():
     """Chunks shorter than the halo cannot feed the neighbor exchange."""
     params, _, mesh = _setup()
@@ -178,32 +218,74 @@ def test_sp_run_training_end_to_end(tmp_path):
     assert int(state.step) == 3
 
 
-def test_sp_rejects_conditioned_and_fused(tmp_path):
+def test_sp_mel_train_step_matches_windowed_step():
+    """Config-driven mel-conditioned SP step == windowed step (same init,
+    batch, incl. the upsampler gradient)."""
+    from lb_wavenet_tpu.config import ArchConfig, TrainConfig
+    from lb_wavenet_tpu.data import make_batches, synthetic_corpus
+    from lb_wavenet_tpu.parallel.mesh import shard_params
+    from lb_wavenet_tpu.train import (
+        batch_to_device,
+        init_state,
+        make_sp_train_step,
+        seq_batch_to_device,
+        train_step,
+    )
+
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8, n_mels=8, cond_channels=8,
+        upsample_factors=(2, 4), compute_dtype="float32",
+    )
+    window = 47  # T = 8 + 47 = 55 -> padded to 56; 14/shard >= halo 8
+    train = TrainConfig(
+        batch_size=2, window_size=window, learning_rate=1e-3,
+        mesh_data=4, seq_parallel=True,
+    )
+    corpus = synthetic_corpus(arch, window, n_files=2, file_len=300)
+    batch = next(make_batches(corpus, train, with_mel=True))
+
+    mesh_sp = make_mesh(4, 1, devices=jax.devices()[:4])
+    mesh_1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    s_sp = shard_params(init_state(jax.random.key(0), arch, train), mesh_sp)
+    s_ref = shard_params(init_state(jax.random.key(0), arch, train), mesh_1)
+
+    sp_step = make_sp_train_step(mesh_sp, arch, train)
+    s_sp, loss_sp = sp_step(
+        s_sp, seq_batch_to_device(batch, mesh_sp, window, arch=arch)
+    )
+    s_ref, loss_ref = train_step(
+        s_ref, batch_to_device(batch, mesh_1, arch), arch, train
+    )
+    assert np.allclose(float(loss_sp), float(loss_ref), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        ),
+        s_sp.params,
+        s_ref.params,
+    )
+
+
+def test_sp_rejects_fused(tmp_path):
     from lb_wavenet_tpu.config import Config
     from lb_wavenet_tpu.data import synthetic_corpus
     from lb_wavenet_tpu.train import run_training
 
-    base = {
-        "arch": {
-            "n_blocks": 1, "n_layers_per_block": 3,
-            "residual_channels": 8, "skip_channels": 8,
-            "gate_channels": 8, "compute_dtype": "float32",
-        },
-        "train": {
-            "batch_size": 2, "window_size": 32, "n_steps": 1,
-            "mesh_data": 4, "seq_parallel": True,
-            "checkpoint_dir": str(tmp_path / "ckpt"),
-        },
-    }
-    mel = Config.from_dict(
-        {**base, "arch": {**base["arch"], "n_mels": 8, "cond_channels": 8,
-                          "upsample_factors": [4, 4]}}
-    )
-    corpus = synthetic_corpus(mel.arch, 32, n_files=1, file_len=200)
-    with pytest.raises(ValueError, match="unconditioned"):
-        run_training(mel, corpus=corpus)
     fused = Config.from_dict(
-        {**base, "train": {**base["train"], "fused_stack": True}}
+        {
+            "arch": {
+                "n_blocks": 1, "n_layers_per_block": 3,
+                "residual_channels": 8, "skip_channels": 8,
+                "gate_channels": 8, "compute_dtype": "float32",
+            },
+            "train": {
+                "batch_size": 2, "window_size": 32, "n_steps": 1,
+                "mesh_data": 4, "seq_parallel": True, "fused_stack": True,
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+            },
+        }
     )
+    corpus = synthetic_corpus(fused.arch, 32, n_files=1, file_len=200)
     with pytest.raises(ValueError, match="fused_stack"):
         run_training(fused, corpus=corpus)
