@@ -88,19 +88,10 @@ def main() -> int:
     stream_chunk_n = int(os.environ.get("BENCH_STREAM_CHUNK", "0"))
     # Engine: mega (whole loop in one Pallas kernel) is the production
     # default; it requires batch % 128 == 0, else fall back to turbo
-    # (one-shot) / pallas (streaming: turbo cannot carry state — same
-    # fallback the CLI performs).
+    # (which streams too — same fallback the CLI performs).
     engine = os.environ.get("BENCH_ENGINE", "")
     if not engine:
-        if batch % 128 == 0:
-            engine = "mega"
-        else:
-            engine = "pallas" if stream_chunk_n else "turbo"
-    if stream_chunk_n and engine == "turbo":
-        raise SystemExit(
-            "BENCH_ENGINE=turbo is one-shot only; streaming engines are "
-            "xla | pallas | mega (mega needs batch % 128 == 0)"
-        )
+        engine = "mega" if batch % 128 == 0 else "turbo"
 
     params = init_params(jax.random.key(0), arch)
     params = jax.device_put(params)

@@ -90,6 +90,107 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _cond_chunk_stream(ups, cond_frames, chunk: int, batch: int, cc: int,
+                       hop: int):
+    """Yield (B, chunk, Cc) conditioning chunks from frame-rate mel via the
+    StreamingUpsampler; the tail past the last frame is zero-padded (those
+    samples are trimmed by the caller)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    pending = np.zeros((batch, 0, cc), np.float32)
+    fed, done = 0, False
+    fpc = max(chunk // hop, 1)  # frames fed per refill
+    while True:
+        while pending.shape[1] < chunk and not done:
+            if fed < cond_frames.shape[1]:
+                out = ups.feed(cond_frames[:, fed : fed + fpc])
+                fed += fpc
+            else:
+                out = ups.finish()
+                done = True
+            pending = np.concatenate([pending, np.asarray(out)], axis=1)
+        if pending.shape[1] < chunk:
+            pending = np.concatenate(
+                [pending, np.zeros(
+                    (batch, chunk - pending.shape[1], cc), np.float32
+                )], axis=1,
+            )
+        yield jnp.asarray(pending[:, :chunk])
+        pending = pending[:, chunk:]
+
+
+def _generate_from_artifact(args, cfg, params, cond_frames) -> int:
+    """Synthesis from an AOT serving artifact (utils/export.py): no model
+    tracing — init once, step per chunk, decode, write wavs."""
+    import jax
+    import numpy as np
+
+    from .data import write_wav
+    from .generate import mu_law_decode
+    from .utils.export import load_serving
+
+    art = load_serving(args.artifact)
+    if art.arch != cfg.arch:
+        raise SystemExit(
+            "artifact arch differs from --config arch; pass the config the "
+            "artifact was exported with"
+        )
+    if args.prime or args.speakers:
+        raise SystemExit(
+            "--artifact bakes the session shape; --prime/--speakers need "
+            "the in-process path"
+        )
+    m = art.manifest
+    batch, chunk = m["batch"], m["chunk_size"]
+    cond_gen = None
+    if m["with_cond"]:
+        if cond_frames is None:
+            raise SystemExit("artifact was exported with_cond: pass --mel")
+        if cond_frames.shape[0] != batch:
+            raise SystemExit(
+                f"--mel batch {cond_frames.shape[0]} != artifact batch {batch}"
+            )
+        from .models.conditioning import StreamingUpsampler
+
+        ups = StreamingUpsampler(
+            params["upsampler"], cfg.arch,
+            jax.numpy.dtype(cfg.arch.compute_dtype),
+        )
+        cond_gen = _cond_chunk_stream(
+            ups, cond_frames, chunk, batch, cfg.arch.cond_channels,
+            cfg.arch.hop_size,
+        )
+
+    state = art.init(params, seed=cfg.gen.seed)
+    parts, emitted = [], 0
+    while emitted < cfg.gen.n_samples:
+        cond_chunk = next(cond_gen) if cond_gen is not None else None
+        classes, state = art.step(params, state, cond=cond_chunk)
+        parts.append(
+            np.asarray(mu_law_decode(classes, cfg.arch.quant_channels))
+        )
+        emitted += chunk
+    wav_np = np.concatenate(parts, axis=1)[:, : cfg.gen.n_samples]
+
+    os.makedirs(cfg.gen.out_dir, exist_ok=True)
+    if jax.process_index() == 0:
+        for b in range(wav_np.shape[0]):
+            write_wav(
+                os.path.join(cfg.gen.out_dir, f"gen_{b:04d}.wav"),
+                wav_np[b],
+                cfg.arch.sample_rate,
+            )
+        print(json.dumps({
+            "generated": int(wav_np.shape[0]),
+            "n_samples": int(wav_np.shape[1]),
+            "out_dir": cfg.gen.out_dir,
+            "artifact": args.artifact,
+            "engine": m["engine"],
+        }))
+    return 0
+
+
 def cmd_generate(args) -> int:
     cfg = _load_config(args)
     _maybe_init_distributed(args)
@@ -113,6 +214,9 @@ def cmd_generate(args) -> int:
                 "mel-conditioned arch needs --mel <npy file of (B, F, n_mels)>"
             )
         cond_frames = np.load(args.mel)
+
+    if args.artifact:
+        return _generate_from_artifact(args, cfg, params, cond_frames)
 
     forced = None
     if args.prime:
@@ -185,10 +289,11 @@ def cmd_generate(args) -> int:
                 jax.numpy.dtype(cfg.arch.compute_dtype),
             )
 
-        # Streaming engines: mega (fastest; batch % 128 == 0), pallas, xla.
+        # Streaming engines: mega (fastest; batch % 128 == 0), turbo (any
+        # batch), pallas, xla.
         eng = cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "xla")
-        if eng == "turbo" or (eng == "mega" and cfg.gen.batch_size % 128):
-            fallback = "pallas"
+        if eng == "mega" and cfg.gen.batch_size % 128:
+            fallback = "turbo"
             if jax.process_index() == 0:
                 print(json.dumps({
                     "notice": f"engine {eng!r} cannot stream at batch "
@@ -201,38 +306,19 @@ def cmd_generate(args) -> int:
         )
         parts = []
         emitted = 0
-        fed = 0
-        ups_done = False
-        fpc = max(chunk // cfg.arch.hop_size, 1)  # frames fed per refill
-        pending = (
-            np.zeros((cfg.gen.batch_size, 0, cfg.arch.cond_channels),
-                     np.float32)
+        cond_gen = (
+            _cond_chunk_stream(
+                ups, cond_frames, chunk, cfg.gen.batch_size,
+                cfg.arch.cond_channels, cfg.arch.hop_size,
+            )
             if ups is not None else None
         )
         while emitted < cfg.gen.n_samples:
-            cond_chunk = None
-            if ups is not None:
-                while pending.shape[1] < chunk and not ups_done:
-                    if fed < cond_frames.shape[1]:
-                        out = ups.feed(cond_frames[:, fed : fed + fpc])
-                        fed += fpc
-                    else:
-                        out = ups.finish()
-                        ups_done = True
-                    pending = np.concatenate(
-                        [pending, np.asarray(out)], axis=1
-                    )
-                if pending.shape[1] < chunk:
-                    # Final chunk overshoots n_samples: zero-pad the tail
-                    # (those samples are trimmed below; real cond covers
-                    # everything kept since total_cond >= n_samples).
-                    pending = np.concatenate(
-                        [pending, np.zeros(
-                            (pending.shape[0], chunk - pending.shape[1],
-                             pending.shape[2]), np.float32)], axis=1,
-                    )
-                cond_chunk = jax.numpy.asarray(pending[:, :chunk])
-                pending = pending[:, chunk:]
+            # Final chunk may overshoot n_samples: the cond tail is
+            # zero-padded by the generator and those samples are trimmed
+            # below (real cond covers everything kept since total_cond >=
+            # n_samples).
+            cond_chunk = next(cond_gen) if cond_gen is not None else None
             classes, stream = stream_chunk(
                 params, cfg.arch, stream, chunk,
                 cond=cond_chunk,
@@ -430,6 +516,14 @@ def main(argv=None) -> int:
         help="restore the EMA params from the checkpoint (ema_decay runs)",
     )
     p_gen.add_argument("--mel", default="", help=".npy mel frames (B, F, n_mels)")
+    p_gen.add_argument(
+        "--artifact",
+        default="",
+        metavar="DIR",
+        help="synthesize via an AOT serving artifact (wavenet export) "
+        "instead of tracing the model; batch/chunk/engine come from its "
+        "manifest",
+    )
     p_gen.add_argument(
         "--prime",
         default="",

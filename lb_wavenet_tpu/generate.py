@@ -386,24 +386,11 @@ def _generate_classes_fused(
     else:
         forced_ts = jnp.swapaxes(forced[:, :n_samples], 0, 1).astype(jnp.int32)
 
-    dtype = jnp.dtype(arch.compute_dtype)
-    zero_cls = jnp.full((b,), arch.quant_channels // 2, jnp.int32)
-    e0 = params["embed"][zero_cls]  # (B, C)
-    w_in = params["input_conv"]["w"]
-    h0 = params["input_conv"]["b"].astype(jnp.float32) + jax.lax.dot_general(
-        e0.astype(dtype),
-        w_in[1].astype(dtype),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    h0, e0 = _fused_frontend_zero(params, arch, b)
     bufs = jnp.zeros((sum(arch.dilations), b, arch.residual_channels))
     offsets = jnp.asarray(buffer_offsets(arch), jnp.int32)
     dils = jnp.asarray(arch.dilations, jnp.int32)
-    # Bound independent of n_samples: (a) seed_base + t stays far from
-    # int32 overflow for any realistic t, and (b) a streaming session
-    # (which cannot know its total length) derives the IDENTICAL seed from
-    # the same rng — sampled mega streams bit-match one-shot runs.
-    seed_base = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max // 2)
+    seed_base = _seed_base(rng)
 
     if engine == "mega":
         from .ops.pallas.ar_mega import mega_generate
@@ -503,6 +490,25 @@ class Stream(NamedTuple):
     t: jnp.ndarray  # () int32: absolute sample index of the next step
 
 
+def _fused_frontend_zero(params: Params, arch: ArchConfig, batch: int):
+    """(h0, e0) for the zero-class first step of the fused engines."""
+    dtype = jnp.dtype(arch.compute_dtype)
+    zero_cls = jnp.full((batch,), arch.quant_channels // 2, jnp.int32)
+    e0 = params["embed"][zero_cls]
+    w_in = params["input_conv"]["w"]
+    h0 = params["input_conv"]["b"].astype(jnp.float32) + _mm(
+        e0, w_in[1], dtype
+    )
+    return h0, e0
+
+
+def _seed_base(rng: jax.Array) -> jnp.ndarray:
+    # Bound independent of length: seed_base + t stays far from int32
+    # overflow, and one-shot and streaming runs derive the IDENTICAL seed
+    # chain from the same rng (absolute time) — so they bit-match.
+    return jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max // 2)
+
+
 def start_stream(
     arch: ArchConfig,
     batch: int,
@@ -512,30 +518,33 @@ def start_stream(
 ) -> Stream:
     """Open a streaming-synthesis session (see stream_chunk).
 
-    engine "xla"/"pallas" (scan engines; any batch) or "mega" (whole-chunk
-    kernel, ~2x the pallas streaming throughput; batch % 128 == 0 on TPU;
-    needs `params` here to seed its in-kernel state).
+    engine "xla"/"pallas" (scan engines; any batch), "turbo" (fused step
+    kernel per sample; any batch) or "mega" (whole-chunk kernel, the
+    fastest; batch % 128 == 0 on TPU). The fused engines need `params`
+    here to seed their in-kernel state.
     """
-    if engine == "mega":
+    if engine in ("mega", "turbo"):
         if params is None:
-            raise ValueError("start_stream(engine='mega') needs params")
+            raise ValueError(f"start_stream(engine='{engine}') needs params")
         if arch.input_kernel != 2:
-            raise NotImplementedError("mega engine assumes input_kernel == 2")
-        from .ops.pallas.ar_mega import mega_zero_carry
+            raise NotImplementedError("fused engines assume input_kernel == 2")
+        h0, e0 = _fused_frontend_zero(params, arch, batch)
+        if engine == "mega":
+            from .ops.pallas.ar_mega import mega_zero_carry
 
-        dtype = jnp.dtype(arch.compute_dtype)
-        zero_cls = jnp.full((batch,), arch.quant_channels // 2, jnp.int32)
-        e0 = params["embed"][zero_cls]
-        w_in = params["input_conv"]["w"]
-        h0 = params["input_conv"]["b"].astype(jnp.float32) + _mm(
-            e0, w_in[1], dtype
-        )
-        state = {
-            "carry": mega_zero_carry(arch, h0, e0),
-            "seed_base": jax.random.randint(
-                rng, (), 0, jnp.iinfo(jnp.int32).max // 2
-            ),
-        }
+            state = {
+                "carry": mega_zero_carry(arch, h0, e0),
+                "seed_base": _seed_base(rng),
+            }
+        else:
+            state = {
+                "bufs": jnp.zeros(
+                    (sum(arch.dilations), batch, arch.residual_channels)
+                ),
+                "e": e0,
+                "h": h0,
+                "seed_base": _seed_base(rng),
+            }
         return Stream(state, jnp.int32(0))
     return Stream(init_ring_state(arch, batch, rng), jnp.int32(0))
 
@@ -565,8 +574,9 @@ def stream_chunk(
     one compile per chunk size. The ring-slot phase and RNG chain continue
     across chunks exactly, so the concatenated chunked output BIT-MATCHES a
     single generate_classes call of the same total length (tested in
-    tests/test_generate.py). Engines: "xla" | "pallas" (the scan engines —
-    they carry state; the fused turbo/mega engines are one-shot only).
+    tests/test_generate.py). Engines: "xla" | "pallas" (scan engines, any
+    batch, logits available) | "turbo" (fused step kernel, any batch) |
+    "mega" (whole-chunk kernel, fastest, batch % 128 == 0 on TPU).
 
     Returns (classes (B, chunk)[, logits], new_stream).
     """
@@ -594,6 +604,16 @@ def stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
             temperature, return_logits,
         )
+    if engine == "turbo":
+        if return_logits:
+            raise NotImplementedError(
+                "turbo samples in-kernel and emits no logits; use the "
+                "pallas engine for logit-level streaming"
+            )
+        return _turbo_stream_chunk(
+            params, arch, stream, chunk_size, cond, gcond, forced,
+            temperature,
+        )
 
     new_state, out = _run_scan_engine(
         params, arch, stream.state, stream.t, chunk_size, cond, forced,
@@ -608,6 +628,86 @@ def stream_chunk(
             new_stream,
         )
     return jnp.swapaxes(out, 0, 1), new_stream
+
+
+def _fold_gcond(params: Params, lp: dict, cond_ts, gcond, n_steps: int):
+    """Fold global (speaker) conditioning into the per-step cond stream —
+    the fused kernels see one concatenated conditioning input."""
+    if gcond is None:
+        return lp, cond_ts
+    g_ts = jnp.broadcast_to(gcond[None], (n_steps,) + gcond.shape)
+    lp = dict(lp)
+    if cond_ts is not None:
+        cond_ts = jnp.concatenate([cond_ts, g_ts], axis=-1)
+        lp["w_cond"] = jnp.concatenate(
+            [params["layers"]["w_cond"], params["layers"]["w_gcond"]],
+            axis=1,
+        )
+    else:
+        cond_ts = g_ts
+        lp["w_cond"] = params["layers"]["w_gcond"]
+    return lp, cond_ts
+
+
+def _turbo_stream_chunk(
+    params: Params,
+    arch: ArchConfig,
+    stream: Stream,
+    chunk_size: int,
+    cond,
+    gcond,
+    forced,
+    temperature: float,
+):
+    """One turbo-engine chunk: lax.scan of the fully-fused step kernel,
+    carrying (rings, frontend) between chunks. Ring-slot phase and the
+    in-kernel sampling-seed chain use the ABSOLUTE time stream.t + step, so
+    chunked output continues the one-shot turbo sequence exactly."""
+    from .ops.pallas.ar_turbo import turbo_step
+
+    interpret = jax.default_backend() == "cpu"
+    st = stream.state
+    b = st["e"].shape[0]
+    cond_ts = jnp.swapaxes(cond, 0, 1) if cond is not None else None
+    lp, cond_ts = _fold_gcond(
+        params, params["layers"], cond_ts, gcond, chunk_size
+    )
+    has_cond = cond_ts is not None
+    if forced is None:
+        forced_ts = jnp.full((chunk_size, b), -1, jnp.int32)
+    else:
+        forced_ts = jnp.swapaxes(forced, 0, 1).astype(jnp.int32)
+    offsets = jnp.asarray(buffer_offsets(arch), jnp.int32)
+    dils = jnp.asarray(arch.dilations, jnp.int32)
+    seed_base = st["seed_base"]
+
+    def body(carry, inp):
+        bufs, e_cur, h0 = carry
+        t, cond_t, forced_t = inp
+        slots = offsets + jax.lax.rem(t, dils)
+        seed = (seed_base + t)[None]
+        new_bufs, cls, e_next, h0_next = turbo_step(
+            params, lp, arch, h0, e_cur, bufs, slots, seed,
+            forced_t[:, None], cond_t=cond_t, temperature=temperature,
+            has_cond=has_cond, interpret=interpret,
+        )
+        return (new_bufs, e_next, h0_next), cls
+
+    ts = stream.t + jnp.arange(chunk_size, dtype=jnp.int32)
+    xs = (ts, cond_ts if has_cond else ts, forced_ts)
+
+    def body_wrap(carry, inp):
+        t, c, f = inp
+        return body(carry, (t, c if has_cond else None, f))
+
+    (bufs, e, h), classes = jax.lax.scan(
+        body_wrap, (st["bufs"], st["e"], st["h"]), xs
+    )
+    new_stream = Stream(
+        {"bufs": bufs, "e": e, "h": h, "seed_base": seed_base},
+        stream.t + jnp.int32(chunk_size),
+    )
+    return jnp.swapaxes(classes, 0, 1), new_stream
 
 
 def _mega_stream_chunk(
@@ -637,20 +737,10 @@ def _mega_stream_chunk(
         )
     # Fold global conditioning into the per-step conditioning (same scheme
     # as the one-shot fused path).
-    lp = params["layers"]
     cond_ts = jnp.swapaxes(cond, 0, 1) if cond is not None else None
-    if gcond is not None:
-        g_ts = jnp.broadcast_to(gcond[None], (chunk_size,) + gcond.shape)
-        lp = dict(lp)
-        if cond_ts is not None:
-            cond_ts = jnp.concatenate([cond_ts, g_ts], axis=-1)
-            lp["w_cond"] = jnp.concatenate(
-                [params["layers"]["w_cond"], params["layers"]["w_gcond"]],
-                axis=1,
-            )
-        else:
-            cond_ts = g_ts
-            lp["w_cond"] = params["layers"]["w_gcond"]
+    lp, cond_ts = _fold_gcond(
+        params, params["layers"], cond_ts, gcond, chunk_size
+    )
     has_cond = cond_ts is not None
     if forced is None:
         forced_ts = jnp.full((chunk_size, b), -1, jnp.int32)

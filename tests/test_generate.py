@@ -192,6 +192,49 @@ def test_streaming_conditioned_chunks_bit_match_one_shot():
                      speaker_ids=spk)
 
 
+def test_turbo_streaming_bit_matches_one_shot():
+    """Turbo-engine streaming: chunked fused-step scans (carried rings +
+    frontend; absolute-time slot/seed chains) bit-match the one-shot turbo
+    run — greedy-primed AND sampled. Batch 3: no lane constraint."""
+    from lb_wavenet_tpu.generate import (
+        generate_classes,
+        start_stream,
+        stream_chunk,
+    )
+
+    params = init_params(jax.random.key(0), MICRO)
+    total, chunk, b = 24, 6, 3
+    forced_full = jnp.concatenate(
+        [
+            jax.random.randint(jax.random.key(6), (b, 8), 0, 256),
+            jnp.full((b, total - 8), -1, jnp.int32),
+        ],
+        axis=1,
+    )
+    for temp, forced in ((0.0, forced_full), (1.0, None)):
+        rng = jax.random.key(23)
+        one_shot = generate_classes(
+            params, MICRO, rng, b, total, forced=forced,
+            temperature=temp, engine="turbo",
+        )
+        stream = start_stream(MICRO, b, rng, engine="turbo", params=params)
+        parts = []
+        for i in range(total // chunk):
+            f = (
+                forced[:, i * chunk : (i + 1) * chunk]
+                if forced is not None else None
+            )
+            cls, stream = stream_chunk(
+                params, MICRO, stream, chunk, forced=f,
+                temperature=temp, engine="turbo",
+            )
+            parts.append(np.asarray(cls))
+        np.testing.assert_array_equal(
+            np.concatenate(parts, axis=1), np.asarray(one_shot),
+            err_msg=f"temperature={temp}",
+        )
+
+
 def test_mega_streaming_bit_matches_one_shot():
     """Mega-engine streaming: chunked whole-loop kernel calls (carried ring
     buffer, staged pairs, frontend; absolute-time slot/seed chains)

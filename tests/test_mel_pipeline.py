@@ -73,7 +73,7 @@ def test_streaming_upsampler_bit_matches_one_shot():
 def test_streaming_mel_synthesis_bit_matches_one_shot():
     """Full streaming vocoder path: mel frames fed incrementally through
     StreamingUpsampler, cond chunks driving stream_chunk — output equals the
-    one-shot conditioned generation, for the scan AND mega engines."""
+    one-shot conditioned generation, for the scan, turbo AND mega engines."""
     from lb_wavenet_tpu.generate import (
         generate_classes,
         start_stream,
@@ -94,7 +94,7 @@ def test_streaming_mel_synthesis_bit_matches_one_shot():
         params["upsampler"], MEL_ARCH, frames, jnp.float32
     )
 
-    for engine in ["xla", "mega"]:
+    for engine in ["xla", "turbo", "mega"]:
         ref = np.asarray(
             generate_classes(
                 params, MEL_ARCH, jax.random.key(7), b, n_samples,

@@ -1,6 +1,8 @@
 """Distributed tier (SURVEY.md §4): REAL multi-process run — 2 jax.distributed
 CPU processes, per-host batch shards, GSPMD gradient all-reduce over the
-process mesh, cross-host checksum guard, identical loss on every host."""
+process mesh, cross-host checksum guard, identical loss on every host.
+MEL-CONDITIONED (BASELINE config 5 is multi-host mel training): the mel
+stream shards over `data` with the rest of the batch."""
 import os
 import subprocess
 import sys
@@ -26,19 +28,20 @@ from lb_wavenet_tpu.train import init_state, train_step
 from lb_wavenet_tpu.utils.multihost import assert_replicated_params
 
 arch = ArchConfig(n_blocks=1, n_layers_per_block=3, residual_channels=8,
-                  skip_channels=8, gate_channels=8, compute_dtype="float32")
+                  skip_channels=8, gate_channels=8, compute_dtype="float32",
+                  n_mels=8, cond_channels=8, upsample_factors=(2, 4))
 train = TrainConfig(batch_size=4, window_size=32, learning_rate=1e-3, seed=0)
 assert jax.process_count() == 2, jax.process_count()
 mesh = make_mesh(2, 1)  # one device per process (distributed cpu: 1 local dev? -> all)
 corpus = synthetic_corpus(arch, 32, n_files=2, file_len=500)
 state = shard_params(init_state(jax.random.key(0), arch, train), mesh)
 batches = make_batches(corpus, train, host_id=jax.process_index(),
-                       host_count=jax.process_count())
+                       host_count=jax.process_count(), with_mel=True)
 losses = []
 for _ in range(3):
     batch_np = next(batches)
     batch = shard_batch({"inputs": batch_np.inputs, "targets": batch_np.targets,
-                         "mask": batch_np.mask}, mesh)
+                         "mask": batch_np.mask, "mel": batch_np.mel}, mesh)
     state, loss = train_step(state, batch, arch, train)
     losses.append(float(loss))
 assert_replicated_params(state.params, 3)   # exercises process_allgather
