@@ -119,6 +119,11 @@ class TrainConfig:
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
     fused_stack: bool = False         # fused Pallas training-stack kernel
     tapcat: bool = False              # fused kernel: K=2C merged tap matmul
+    # Gradient accumulation: split each batch into grad_accum microbatches
+    # scanned inside ONE jitted step (peak activation memory drops
+    # ~grad_accum-fold; the masked-mean loss/grads are EXACT — per-micro
+    # sums are weighted by their mask denominators). batch_size must divide.
+    grad_accum: int = 1
 
 
 @dataclass(frozen=True)

@@ -268,6 +268,22 @@ def forward(
     return post_network(params, skip_sum, dtype)
 
 
+def masked_loss_sums(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    mask: jnp.ndarray,
+    window_size: int,
+) -> tuple:
+    """(sum of masked CE, sum of mask) — the accumulable form of
+    masked_loss, used by gradient accumulation to keep the global masked
+    MEAN exact across microbatches (each micro contributes its numerator
+    and denominator; the division happens once at the end)."""
+    w_logits = logits[:, -window_size:, :]
+    ce = -jax.nn.log_softmax(w_logits, axis=-1)
+    ce = jnp.take_along_axis(ce, targets[..., None], axis=-1)[..., 0]
+    return jnp.sum(ce * mask), jnp.sum(mask)
+
+
 def masked_loss(
     logits: jnp.ndarray,
     targets: jnp.ndarray,
@@ -279,8 +295,5 @@ def masked_loss(
     logits: (B, R-1+W, Q); targets/mask: (B, W). logits[:, -W + j] predicts
     targets[:, j] (see ops/geometry.py for the alignment derivation).
     """
-    w_logits = logits[:, -window_size:, :]
-    ce = -jax.nn.log_softmax(w_logits, axis=-1)
-    ce = jnp.take_along_axis(ce, targets[..., None], axis=-1)[..., 0]
-    denom = jnp.maximum(jnp.sum(mask), 1.0)
-    return jnp.sum(ce * mask) / denom
+    num, den = masked_loss_sums(logits, targets, mask, window_size)
+    return num / jnp.maximum(den, 1.0)

@@ -23,7 +23,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .config import ArchConfig, Config, TrainConfig
 from .data import Batch, Corpus, make_batches, prefetch
-from .models.wavenet import forward, init_params, masked_loss
+from .models.wavenet import (
+    forward, init_params, masked_loss, masked_loss_sums,
+)
 from .parallel.mesh import make_mesh, shard_batch, shard_params
 from .utils import checkpoint as ckpt_lib
 from .utils import multihost
@@ -117,11 +119,10 @@ def init_state(rng, arch: ArchConfig, train: TrainConfig) -> TrainState:
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema)
 
 
-def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
-            remat: bool = False, fused_stack: bool = False,
-            tapcat: bool = False):
+def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
+                  fused_stack: bool, tapcat: bool):
     if fused_stack:
-        logits = forward_fused(
+        return forward_fused(
             params,
             arch,
             batch["inputs"],
@@ -129,15 +130,20 @@ def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
             speaker_ids=batch.get("speaker"),
             tapcat=tapcat,
         )
-    else:
-        logits = forward(
-            params,
-            arch,
-            batch["inputs"],
-            cond_frames=batch.get("mel"),
-            speaker_ids=batch.get("speaker"),
-            remat=remat,
-        )
+    return forward(
+        params,
+        arch,
+        batch["inputs"],
+        cond_frames=batch.get("mel"),
+        speaker_ids=batch.get("speaker"),
+        remat=remat,
+    )
+
+
+def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
+            remat: bool = False, fused_stack: bool = False,
+            tapcat: bool = False):
+    logits = _batch_logits(params, arch, batch, remat, fused_stack, tapcat)
     return masked_loss(logits, batch["targets"], batch["mask"], window_size)
 
 
@@ -210,11 +216,67 @@ def _apply_updates(
 def train_step(
     state: TrainState, batch: dict, arch: ArchConfig, train: TrainConfig
 ):
+    if train.grad_accum > 1:
+        return _accum_train_step(state, batch, arch, train)
     loss, grads = jax.value_and_grad(loss_fn)(
         state.params, arch, train.window_size, batch, train.remat,
         train.fused_stack, train.tapcat,
     )
     return _apply_updates(state, grads, train), loss
+
+
+def _accum_train_step(
+    state: TrainState, batch: dict, arch: ArchConfig, train: TrainConfig
+):
+    """Gradient accumulation: lax.scan over grad_accum microbatches.
+
+    Exactness: the batch loss is (sum CE)/(sum mask) over ALL microbatches;
+    the mask denominator carries no parameter dependence, so accumulating
+    the NUMERATOR's gradients and dividing the sums once reproduces the
+    unaccumulated step's loss and gradient exactly (tests/test_train.py).
+    Microbatches take every grad_accum-th batch row, so each keeps rows on
+    every `data`-mesh shard (a contiguous block split would idle devices).
+    """
+    k = train.grad_accum
+    b = batch["inputs"].shape[0]
+    if b % k:
+        raise ValueError(
+            f"batch_size {b} is not divisible by grad_accum {k}"
+        )
+
+    def strided(a):
+        a2 = a.reshape((b // k, k) + a.shape[1:])
+        return jnp.moveaxis(a2, 1, 0)  # (k, b/k, ...): micro i = rows i::k
+
+    xs = {key: strided(v) for key, v in batch.items()}
+
+    def num_fn(params, micro):
+        logits = _batch_logits(
+            params, arch, micro, train.remat, train.fused_stack,
+            train.tapcat,
+        )
+        num, den = masked_loss_sums(
+            logits, micro["targets"], micro["mask"], train.window_size
+        )
+        return num, den
+
+    def body(carry, micro):
+        g_acc, num_acc, den_acc = carry
+        (num, den), g = jax.value_and_grad(num_fn, has_aux=True)(
+            state.params, micro
+        )
+        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+        return (g_acc, num_acc + num, den_acc + den), None
+
+    zeros = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+    )
+    (g_sum, num, den), _ = jax.lax.scan(
+        body, (zeros, jnp.float32(0.0), jnp.float32(0.0)), xs
+    )
+    d = jnp.maximum(den, 1.0)
+    grads = jax.tree_util.tree_map(lambda g: g / d, g_sum)
+    return _apply_updates(state, grads, train), num / d
 
 
 def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):

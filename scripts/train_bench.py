@@ -28,6 +28,7 @@ def main() -> int:
 
     fused = os.environ.get("TB_FUSED", "0") == "1"
     tapcat = os.environ.get("TB_TAPCAT", "0") == "1"
+    accum = int(os.environ.get("TB_ACCUM", "1"))
     batch = int(os.environ.get("TB_BATCH", "8"))
     window = int(os.environ.get("TB_WINDOW", "4096"))
     n_steps = int(os.environ.get("TB_STEPS", "20"))
@@ -44,7 +45,7 @@ def main() -> int:
     )
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=fused,
-        tapcat=tapcat,
+        tapcat=tapcat, grad_accum=accum,
     )
     rng = jax.random.key(0)
     state = init_state(rng, arch, train)
@@ -81,7 +82,7 @@ def main() -> int:
         "value": round(sps, 1),
         "unit": "samples/sec/chip",
         "detail": {
-            "fused_stack": fused, "tapcat": tapcat,
+            "fused_stack": fused, "tapcat": tapcat, "grad_accum": accum,
             "batch": batch, "window": window,
             "mel": with_mel,
             "step_ms": round(step_ms, 2), "compile_s": round(compile_s, 1),

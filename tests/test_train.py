@@ -137,3 +137,57 @@ def test_metrics_tensorboard_writer(tmp_path):
     events = glob.glob(tb_dir + "/events.out.tfevents.*")
     assert events, "no TensorBoard event file written"
     assert os.path.getsize(events[0]) > 0
+
+
+def test_grad_accum_matches_unaccumulated_step():
+    """grad_accum=2 over the SAME total batch == the one-shot step exactly
+    (loss AND updated params), including ragged boundary masks — the
+    numerator/denominator accumulation keeps the masked mean exact."""
+    from lb_wavenet_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from lb_wavenet_tpu.train import init_state, train_step
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    rng = np.random.default_rng(3)
+    r, w, b = MICRO.receptive_field, 32, 4
+    mask = np.ones((b, w), np.float32)
+    mask[0, 20:] = 0.0   # ragged masks: micro denominators differ
+    mask[2, :5] = 0.0
+    raw = {
+        "inputs": rng.integers(0, 256, (b, r - 1 + w)).astype(np.int32),
+        "targets": rng.integers(0, 256, (b, w)).astype(np.int32),
+        "mask": mask,
+    }
+    losses, states = [], []
+    for k in (1, 2, 4):
+        train = TrainConfig(batch_size=b, window_size=w, learning_rate=1e-3,
+                            grad_accum=k)
+        state = shard_params(init_state(jax.random.key(0), MICRO, train), mesh)
+        state, loss = train_step(state, shard_batch(raw, mesh), MICRO, train)
+        losses.append(float(loss))
+        states.append(state)
+    for i in (1, 2):
+        assert np.allclose(losses[0], losses[i], rtol=1e-6), losses
+        jax.tree_util.tree_map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-7
+            ),
+            states[0].params,
+            states[i].params,
+        )
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    from lb_wavenet_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from lb_wavenet_tpu.train import init_state, train_step
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    train = TrainConfig(batch_size=3, window_size=16, grad_accum=2)
+    state = shard_params(init_state(jax.random.key(0), MICRO, train), mesh)
+    r = MICRO.receptive_field
+    raw = {
+        "inputs": np.zeros((3, r - 1 + 16), np.int32),
+        "targets": np.zeros((3, 16), np.int32),
+        "mask": np.ones((3, 16), np.float32),
+    }
+    with pytest.raises(ValueError, match="divisible"):
+        train_step(state, shard_batch(raw, mesh), MICRO, train)
