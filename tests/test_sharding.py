@@ -71,3 +71,32 @@ def test_model_sharded_step_matches_replicated():
     # The model-sharded layout really is distributed: w_skip lives on 2 shards.
     w_skip = s_mp.params["layers"]["w_skip"]
     assert not w_skip.sharding.is_fully_replicated
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_grad_accum_composes_with_dp():
+    """grad_accum=2 on an 8-way data mesh == one-shot single device: the
+    strided microbatch split keeps every shard busy each micro AND the
+    accumulated masked mean stays exact through the GSPMD all-reduce."""
+    raw = _batch(16, 16, MICRO.receptive_field, seed=5)
+    raw["mask"][3, 8:] = 0.0  # ragged denominators across micros
+
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
+    t1 = TrainConfig(batch_size=16, window_size=16, learning_rate=1e-3)
+    s1 = shard_params(init_state(jax.random.key(0), MICRO, t1), mesh1)
+    s1, loss1 = train_step(s1, shard_batch(raw, mesh1), MICRO, t1)
+
+    mesh8 = make_mesh(8, 1)
+    t8 = TrainConfig(batch_size=16, window_size=16, learning_rate=1e-3,
+                     grad_accum=2)
+    s8 = shard_params(init_state(jax.random.key(0), MICRO, t8), mesh8)
+    s8, loss8 = train_step(s8, shard_batch(raw, mesh8), MICRO, t8)
+
+    assert np.allclose(float(loss1), float(loss8), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        s1.params,
+        s8.params,
+    )
