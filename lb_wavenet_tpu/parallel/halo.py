@@ -35,7 +35,7 @@ from ..models.wavenet import forward
 
 
 def _sp_local_logits(params, x_local, cond_local=None, speaker_ids=None, *,
-                     arch: ArchConfig, axis_name: str):
+                     arch: ArchConfig, axis_name: str, remat: bool = False):
     """Logits for this shard's chunk, exact vs the unsharded forward.
 
     x_local: (B, T_local) classes; cond_local: optional (B, T_local, Cc)
@@ -73,7 +73,7 @@ def _sp_local_logits(params, x_local, cond_local=None, speaker_ids=None, *,
     )
     logits_ext = forward(
         params, arch, x_ext, input_mask=mask, cond=cond_ext,
-        speaker_ids=speaker_ids,
+        speaker_ids=speaker_ids, remat=remat,
     )
     return logits_ext[:, halo:]
 
@@ -116,6 +116,7 @@ def sequence_parallel_logits(
     axis_name: str = "data",
     cond_frames: Optional[jnp.ndarray] = None,  # (B, F, n_mels) frame rate
     speaker_ids: Optional[jnp.ndarray] = None,  # (B,)
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Time-sharded teacher-forced forward over `mesh[axis_name]`.
 
@@ -145,7 +146,8 @@ def sequence_parallel_logits(
         cond_l = next(it) if has_cond else None
         spk = next(it) if has_spk else None
         return _sp_local_logits(
-            params, x_l, cond_l, spk, arch=arch, axis_name=axis_name
+            params, x_l, cond_l, spk, arch=arch, axis_name=axis_name,
+            remat=remat,
         )
 
     fn = shard_map(
@@ -165,6 +167,7 @@ def sequence_parallel_loss(
     axis_name: str = "data",
     cond_frames: Optional[jnp.ndarray] = None,  # (B, F, n_mels)
     speaker_ids: Optional[jnp.ndarray] = None,  # (B,)
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Masked CE over a time-sharded long window (mean over unmasked).
 
@@ -194,7 +197,8 @@ def sequence_parallel_loss(
         cond_l = next(it) if has_cond else None
         spk = next(it) if has_spk else None
         logits = _sp_local_logits(
-            params, x_l, cond_l, spk, arch=arch, axis_name=axis_name
+            params, x_l, cond_l, spk, arch=arch, axis_name=axis_name,
+            remat=remat,
         )
         ce = -jax.nn.log_softmax(logits, axis=-1)
         ce = jnp.take_along_axis(ce, tgt_l[..., None], axis=-1)[..., 0]

@@ -297,6 +297,7 @@ def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
                 batch["mask"], mesh,
                 cond_frames=batch.get("mel"),
                 speaker_ids=batch.get("speaker"),
+                remat=train.remat,
             )
 
         loss, grads = jax.value_and_grad(lf)(state.params)
