@@ -113,8 +113,8 @@ class TrainConfig:
     # Sequence-parallel training (parallel/halo.py): the mesh's `data` axis
     # shards the TIME dimension of each window (batch replicated) with a
     # recompute-with-halo exchange of R-1 boundary samples — for windows too
-    # long for one chip's activation memory. Unconditioned archs, XLA
-    # forward, single process (multi-device) for now.
+    # long for one chip's activation memory. Mel/speaker conditioning and
+    # multi-process meshes supported; uses the XLA forward (fused_stack off).
     seq_parallel: bool = False
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
     fused_stack: bool = False         # fused Pallas training-stack kernel

@@ -318,8 +318,19 @@ def seq_batch_to_device(batch: Batch, mesh, window_size: int,
     the loss upsamples them globally and time-shards the result), padded
     with zero frames to cover the padded length — numerically identical to
     the upsampler's own SAME zero padding for the real region.
+
+    Multi-host: every host holds the FULL (identical) batch — SP loaders
+    are unsharded — and contributes its addressable time-slices via
+    make_array_from_callback.
     """
     from .parallel.mesh import DATA_AXIS
+
+    def _put(arr, sharding):
+        if jax.process_count() == 1:
+            return jax.device_put(arr, sharding)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
 
     n = mesh.shape[DATA_AXIS]
     inputs = np.asarray(batch.inputs)
@@ -333,9 +344,9 @@ def seq_batch_to_device(batch: Batch, mesh, window_size: int,
     msk[:, t - window_size : t] = batch.mask
     sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     out = {
-        "inputs": jax.device_put(inp, sharding),
-        "targets": jax.device_put(tgt, sharding),
-        "mask": jax.device_put(msk, sharding),
+        "inputs": _put(inp, sharding),
+        "targets": _put(tgt, sharding),
+        "mask": _put(msk, sharding),
     }
     replicated = NamedSharding(mesh, P())
     if batch.mel is not None:
@@ -351,11 +362,9 @@ def seq_batch_to_device(batch: Batch, mesh, window_size: int,
                 ],
                 axis=1,
             )
-        out["mel"] = jax.device_put(mel, replicated)
+        out["mel"] = _put(mel, replicated)
     if batch.speaker is not None:
-        out["speaker"] = jax.device_put(
-            np.asarray(batch.speaker), replicated
-        )
+        out["speaker"] = _put(np.asarray(batch.speaker), replicated)
     return out
 
 
@@ -396,10 +405,6 @@ def run_training(
             raise ValueError(
                 "seq_parallel uses the XLA forward; set fused_stack=false"
             )
-        if host_count > 1:
-            raise NotImplementedError(
-                "seq_parallel is single-process (multi-device) for now"
-            )
         sp_step = make_sp_train_step(mesh, arch, train)
 
     state = init_state(jax.random.key(train.seed), arch, train)
@@ -407,12 +412,15 @@ def run_training(
     manager = ckpt_lib.make_manager(train.checkpoint_dir)
     state, start_step = ckpt_lib.restore_if_available(manager, state)
 
+    # SP shards TIME, not batch rows: every host must see the IDENTICAL
+    # batch stream (seq_batch_to_device places each host's time-slices),
+    # so the SP loader is unsharded. DP loaders stay host-strided.
     batches = prefetch(
         make_batches(
             corpus,
             train,
-            host_id=host_id,
-            host_count=host_count,
+            host_id=0 if train.seq_parallel else host_id,
+            host_count=1 if train.seq_parallel else host_count,
             start_step=start_step,
             with_mel=arch.use_local_cond,
         )

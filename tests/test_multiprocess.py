@@ -80,3 +80,103 @@ def test_two_process_data_parallel_training(tmp_path):
     # SPMD: every host computes the identical global loss.
     np.testing.assert_allclose(losses[0], losses[1], rtol=0, atol=0)
     assert losses[0][-1] < losses[0][0] + 0.5
+
+
+WORKER_SP = r"""
+import os, sys, json
+sys.path.insert(0, '@REPO@')
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:@PORT@",
+    num_processes=2,
+    process_id=@PID@,
+)
+import numpy as np
+from lb_wavenet_tpu.config import ArchConfig, TrainConfig
+from lb_wavenet_tpu.data import make_batches, synthetic_corpus
+from lb_wavenet_tpu.parallel.mesh import make_mesh, shard_params
+from lb_wavenet_tpu.train import (
+    init_state, make_sp_train_step, seq_batch_to_device,
+)
+
+arch = ArchConfig(n_blocks=1, n_layers_per_block=3, residual_channels=8,
+                  skip_channels=8, gate_channels=8, compute_dtype="float32")
+window = 41  # T = 8 + 41 = 49 -> padded to 50; 25/shard >= halo 8
+train = TrainConfig(batch_size=2, window_size=window, learning_rate=1e-3,
+                    seed=0, seq_parallel=True)
+assert jax.process_count() == 2
+mesh = make_mesh(2, 1)  # time sharded across the two processes
+corpus = synthetic_corpus(arch, window, n_files=2, file_len=400)
+state = shard_params(init_state(jax.random.key(0), arch, train), mesh)
+# SP loaders are UNSHARDED: identical batch stream on every host.
+batches = make_batches(corpus, train, host_id=0, host_count=1)
+sp_step = make_sp_train_step(mesh, arch, train)
+losses = []
+for _ in range(3):
+    batch = seq_batch_to_device(next(batches), mesh, window, arch=arch)
+    state, loss = sp_step(state, batch)
+    losses.append(float(loss))
+print("LOSSES", json.dumps(losses), flush=True)
+"""
+
+
+def test_two_process_sequence_parallel_training():
+    """Multi-host SP: the halo ppermute crosses PROCESS boundaries; both
+    hosts compute the identical loss, equal to the single-process SP run."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    port = 23467
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one device per process
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             WORKER_SP.replace('@REPO@', repo).replace('@PORT@', str(port)).replace('@PID@', str(pid))],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    losses = [
+        json.loads(next(l for l in out.splitlines() if l.startswith("LOSSES")).split(" ", 1)[1])
+        for out in outs
+    ]
+    np.testing.assert_allclose(losses[0], losses[1], rtol=0, atol=0)
+
+    # Single-process reference on the virtual mesh: identical math.
+    import jax
+
+    from lb_wavenet_tpu.config import ArchConfig, TrainConfig
+    from lb_wavenet_tpu.data import make_batches, synthetic_corpus
+    from lb_wavenet_tpu.parallel.mesh import make_mesh, shard_params
+    from lb_wavenet_tpu.train import (
+        init_state, make_sp_train_step, seq_batch_to_device,
+    )
+
+    arch = ArchConfig(n_blocks=1, n_layers_per_block=3, residual_channels=8,
+                      skip_channels=8, gate_channels=8,
+                      compute_dtype="float32")
+    window = 41
+    train = TrainConfig(batch_size=2, window_size=window, learning_rate=1e-3,
+                        seed=0, seq_parallel=True)
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    corpus = synthetic_corpus(arch, window, n_files=2, file_len=400)
+    state = shard_params(init_state(jax.random.key(0), arch, train), mesh)
+    batches = make_batches(corpus, train, host_id=0, host_count=1)
+    sp_step = make_sp_train_step(mesh, arch, train)
+    ref = []
+    for _ in range(3):
+        batch = seq_batch_to_device(next(batches), mesh, window, arch=arch)
+        state, loss = sp_step(state, batch)
+        ref.append(float(loss))
+    np.testing.assert_allclose(losses[0], ref, rtol=1e-6)
