@@ -151,6 +151,12 @@ def _generate_from_artifact(args, cfg, params, cond_frames) -> int:
             raise SystemExit(
                 f"--mel batch {cond_frames.shape[0]} != artifact batch {batch}"
             )
+        total_cond = cond_frames.shape[1] * cfg.arch.hop_size
+        if total_cond < cfg.gen.n_samples:
+            raise SystemExit(
+                f"--mel frames cover {total_cond} samples < "
+                f"gen.n_samples={cfg.gen.n_samples}"
+            )
         from .models.conditioning import StreamingUpsampler
 
         ups = StreamingUpsampler(
@@ -161,11 +167,23 @@ def _generate_from_artifact(args, cfg, params, cond_frames) -> int:
             ups, cond_frames, chunk, batch, cfg.arch.cond_channels,
             cfg.arch.hop_size,
         )
+    elif cond_frames is not None:
+        raise SystemExit(
+            "artifact was exported WITHOUT conditioning but the config is "
+            "mel-conditioned; re-export from this config (with_cond is set "
+            "automatically) or generate without --artifact"
+        )
 
+    # The exported step pins the cond input dtype to the arch compute
+    # dtype; the host-side chunk buffer is float32 — cast at the boundary.
+    cond_dtype = jax.numpy.dtype(cfg.arch.compute_dtype)
     state = art.init(params, seed=cfg.gen.seed)
     parts, emitted = [], 0
     while emitted < cfg.gen.n_samples:
-        cond_chunk = next(cond_gen) if cond_gen is not None else None
+        cond_chunk = (
+            next(cond_gen).astype(cond_dtype) if cond_gen is not None
+            else None
+        )
         classes, state = art.step(params, state, cond=cond_chunk)
         parts.append(
             np.asarray(mu_law_decode(classes, cfg.arch.quant_channels))

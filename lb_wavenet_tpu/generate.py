@@ -354,31 +354,17 @@ def _generate_classes_fused(
     "mega":  the entire loop inside ONE pallas_call with grid over samples
              (ops/pallas/ar_mega) — no scan, no per-step launches at all.
     """
-    from .ops.pallas.ar_turbo import turbo_step
-
     if arch.input_kernel != 2:
         raise NotImplementedError("fused engines assume input_kernel == 2")
     interpret = jax.default_backend() == "cpu"
 
     # Fold global conditioning into the per-step conditioning vector.
-    lp = params["layers"]
     cond_ts = None
     if cond is not None:
         cond_ts = jnp.swapaxes(cond[:, :n_samples], 0, 1)  # (T, B, Cc)
-    if gcond is not None:
-        g_ts = jnp.broadcast_to(
-            gcond[None], (n_samples,) + gcond.shape
-        )
-        lp = dict(lp)
-        if cond_ts is not None:
-            cond_ts = jnp.concatenate([cond_ts, g_ts], axis=-1)
-            lp["w_cond"] = jnp.concatenate(
-                [params["layers"]["w_cond"], params["layers"]["w_gcond"]],
-                axis=1,
-            )
-        else:
-            cond_ts = g_ts
-            lp["w_cond"] = params["layers"]["w_gcond"]
+    lp, cond_ts = _fold_gcond(
+        params, params["layers"], cond_ts, gcond, n_samples
+    )
     has_cond = cond_ts is not None
 
     if forced is None:
@@ -388,8 +374,6 @@ def _generate_classes_fused(
 
     h0, e0 = _fused_frontend_zero(params, arch, b)
     bufs = jnp.zeros((sum(arch.dilations), b, arch.residual_channels))
-    offsets = jnp.asarray(buffer_offsets(arch), jnp.int32)
-    dils = jnp.asarray(arch.dilations, jnp.int32)
     seed_base = _seed_base(rng)
 
     if engine == "mega":
@@ -445,37 +429,45 @@ def _generate_classes_fused(
             )
         return jnp.swapaxes(out[:, 0, :], 0, 1)[:b]  # (T, B) -> (B, T)
 
+    _, classes = _turbo_scan(
+        params, lp, arch, (bufs, e0, h0), seed_base, jnp.int32(0),
+        cond_ts, forced_ts, temperature, has_cond, interpret,
+    )
+    return jnp.swapaxes(classes, 0, 1)
+
+
+def _turbo_scan(params, lp, arch: ArchConfig, carry0, seed_base, t0,
+                cond_ts, forced_ts, temperature, has_cond, interpret):
+    """lax.scan of the fused turbo step; carry = (bufs, e, h). Absolute
+    time t0 + i drives ring slots and the sampling-seed chain, so chunked
+    (streaming) and one-shot runs produce identical sequences. Returns
+    (final carry, classes (T, B))."""
+    from .ops.pallas.ar_turbo import turbo_step
+
+    offsets = jnp.asarray(buffer_offsets(arch), jnp.int32)
+    dils = jnp.asarray(arch.dilations, jnp.int32)
+    n_steps = forced_ts.shape[0]
+
     def body(carry, inp):
         bufs, e_cur, h0 = carry
         t, cond_t, forced_t = inp
         slots = offsets + jax.lax.rem(t, dils)
         seed = (seed_base + t)[None]
         new_bufs, cls, e_next, h0_next = turbo_step(
-            params,
-            lp,
-            arch,
-            h0,
-            e_cur,
-            bufs,
-            slots,
-            seed,
-            forced_t[:, None],
-            cond_t=cond_t,
-            temperature=temperature,
-            has_cond=has_cond,
-            interpret=interpret,
+            params, lp, arch, h0, e_cur, bufs, slots, seed,
+            forced_t[:, None], cond_t=cond_t, temperature=temperature,
+            has_cond=has_cond, interpret=interpret,
         )
         return (new_bufs, e_next, h0_next), cls
 
-    ts = jnp.arange(n_samples, dtype=jnp.int32)
+    ts = t0 + jnp.arange(n_steps, dtype=jnp.int32)
     xs = (ts, cond_ts if has_cond else ts, forced_ts)
 
     def body_wrap(carry, inp):
         t, c, f = inp
         return body(carry, (t, c if has_cond else None, f))
 
-    _, classes = jax.lax.scan(body_wrap, (bufs, e0, h0), xs)
-    return jnp.swapaxes(classes, 0, 1)
+    return jax.lax.scan(body_wrap, carry0, xs)
 
 
 class Stream(NamedTuple):
@@ -663,8 +655,6 @@ def _turbo_stream_chunk(
     carrying (rings, frontend) between chunks. Ring-slot phase and the
     in-kernel sampling-seed chain use the ABSOLUTE time stream.t + step, so
     chunked output continues the one-shot turbo sequence exactly."""
-    from .ops.pallas.ar_turbo import turbo_step
-
     interpret = jax.default_backend() == "cpu"
     st = stream.state
     b = st["e"].shape[0]
@@ -677,31 +667,10 @@ def _turbo_stream_chunk(
         forced_ts = jnp.full((chunk_size, b), -1, jnp.int32)
     else:
         forced_ts = jnp.swapaxes(forced, 0, 1).astype(jnp.int32)
-    offsets = jnp.asarray(buffer_offsets(arch), jnp.int32)
-    dils = jnp.asarray(arch.dilations, jnp.int32)
     seed_base = st["seed_base"]
-
-    def body(carry, inp):
-        bufs, e_cur, h0 = carry
-        t, cond_t, forced_t = inp
-        slots = offsets + jax.lax.rem(t, dils)
-        seed = (seed_base + t)[None]
-        new_bufs, cls, e_next, h0_next = turbo_step(
-            params, lp, arch, h0, e_cur, bufs, slots, seed,
-            forced_t[:, None], cond_t=cond_t, temperature=temperature,
-            has_cond=has_cond, interpret=interpret,
-        )
-        return (new_bufs, e_next, h0_next), cls
-
-    ts = stream.t + jnp.arange(chunk_size, dtype=jnp.int32)
-    xs = (ts, cond_ts if has_cond else ts, forced_ts)
-
-    def body_wrap(carry, inp):
-        t, c, f = inp
-        return body(carry, (t, c if has_cond else None, f))
-
-    (bufs, e, h), classes = jax.lax.scan(
-        body_wrap, (st["bufs"], st["e"], st["h"]), xs
+    (bufs, e, h), classes = _turbo_scan(
+        params, lp, arch, (st["bufs"], st["e"], st["h"]), seed_base,
+        stream.t, cond_ts, forced_ts, temperature, has_cond, interpret,
     )
     new_stream = Stream(
         {"bufs": bufs, "e": e, "h": h, "seed_base": seed_base},

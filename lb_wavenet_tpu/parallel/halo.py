@@ -82,14 +82,34 @@ def _upsample_for_sp(params, arch: ArchConfig, cond_frames, t: int):
     """Global (unsharded) cond upsampling for the SP paths: frames are
     frame-rate (hop x smaller than samples), so upsampling once outside
     shard_map costs little and keeps the per-shard slices exactly equal to
-    the unsharded forward's cond."""
+    the unsharded forward's cond.
+
+    When t exceeds the frames' coverage (seq_batch_to_device zero-pads time
+    up to a multiple of the seq-axis size), the upsampled cond is padded
+    with ZEROS — never with zero FRAMES, which would pass through the
+    upsampler projection as proj_bias != 0 and bleed into the REAL tail
+    region through the SAME conv window. The zero-padded cond rows are all
+    in the causally-inert, loss-masked pad region, so the real region stays
+    bit-identical to the windowed path on trained params."""
     from ..models.conditioning import upsample_cond
 
     cond = upsample_cond(
         params["upsampler"], arch, cond_frames,
         jnp.dtype(arch.compute_dtype),
     )
-    return cond[:, :t]
+    cond = cond[:, :t]
+    if cond.shape[1] < t:
+        cond = jnp.concatenate(
+            [
+                cond,
+                jnp.zeros(
+                    (cond.shape[0], t - cond.shape[1], cond.shape[2]),
+                    cond.dtype,
+                ),
+            ],
+            axis=1,
+        )
+    return cond
 
 
 def _check_chunking(arch: ArchConfig, t: int, mesh: Mesh, axis_name: str):

@@ -315,9 +315,9 @@ def seq_batch_to_device(batch: Batch, mesh, window_size: int,
     them — and zero-pads time up to a multiple of the seq-axis size (padded
     positions are later in time, hence causally inert, and zero-masked).
     Mel frames stay REPLICATED (they are hop_size x smaller than samples;
-    the loss upsamples them globally and time-shards the result), padded
-    with zero frames to cover the padded length — numerically identical to
-    the upsampler's own SAME zero padding for the real region.
+    the loss upsamples them globally, zero-pads the RESULT over the inert
+    pad region — zero frames would leak the upsampler projection bias into
+    the real tail — and time-shards it).
 
     Multi-host: every host holds the FULL (identical) batch — SP loaders
     are unsharded — and contributes its addressable time-slices via
@@ -350,19 +350,12 @@ def seq_batch_to_device(batch: Batch, mesh, window_size: int,
     }
     replicated = NamedSharding(mesh, P())
     if batch.mel is not None:
-        mel = np.asarray(batch.mel)
-        f_needed = -(-tp // arch.hop_size)
-        if mel.shape[1] < f_needed:
-            mel = np.concatenate(
-                [
-                    mel,
-                    np.zeros(
-                        (b, f_needed - mel.shape[1], mel.shape[2]), mel.dtype
-                    ),
-                ],
-                axis=1,
+        if arch is None:
+            raise ValueError(
+                "seq_batch_to_device needs `arch` for mel-conditioned "
+                "batches"
             )
-        out["mel"] = _put(mel, replicated)
+        out["mel"] = _put(np.asarray(batch.mel), replicated)
     if batch.speaker is not None:
         out["speaker"] = _put(np.asarray(batch.speaker), replicated)
     return out
@@ -404,6 +397,12 @@ def run_training(
         if train.fused_stack:
             raise ValueError(
                 "seq_parallel uses the XLA forward; set fused_stack=false"
+            )
+        if train.grad_accum > 1:
+            raise ValueError(
+                "seq_parallel does not accumulate gradients (it shards "
+                "TIME, not batch rows); set grad_accum=1 — use train.remat "
+                "to cut SP activation memory"
             )
         sp_step = make_sp_train_step(mesh, arch, train)
 

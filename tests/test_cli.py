@@ -151,6 +151,56 @@ def test_cli_generate_from_artifact(tmp_path):
     assert sorted(os.listdir(outdir)) == ["gen_0000.wav", "gen_0001.wav"]
 
 
+def test_cli_generate_from_mel_artifact_bf16(tmp_path):
+    """Mel-conditioned artifact at the DEFAULT compute dtype (bfloat16):
+    the exported step pins the cond input to bf16 while the host chunk
+    buffer is float32 — regression for the dtype-mismatch crash."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 180 * t), 16000)
+
+    arch_args = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8", "--set", "arch.n_mels=8",
+        "--set", "arch.cond_channels=8", "--set", "arch.upsample_factors=[2,4]",
+    ]  # compute_dtype stays the default bfloat16
+    ckpt, art, outdir = tmp_path / "ck", tmp_path / "art", tmp_path / "out"
+    r = _run(
+        ["train", *arch_args,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = _run(
+        ["export", *arch_args, "--out", str(art), "--engine", "xla",
+         "--batch", "2", "--chunk", "16"],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    mel = tmp_path / "frames.npy"
+    np.save(mel, np.random.default_rng(0).standard_normal(
+        (2, 8, 8)).astype(np.float32))  # 8 frames x hop 8 = 64 samples
+    r = _run(
+        ["generate", *arch_args, "--artifact", str(art), "--mel", str(mel),
+         "--set", f'gen.checkpoint_dir="{ckpt}"',
+         "--set", "gen.n_samples=32", "--set", f'gen.out_dir="{outdir}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert sorted(os.listdir(outdir)) == ["gen_0000.wav", "gen_0001.wav"]
+
+
 def test_cli_eval(tmp_path):
     """`wavenet eval`: held-out metrics from a trained checkpoint."""
     import numpy as np

@@ -267,6 +267,68 @@ def test_sp_mel_train_step_matches_windowed_step():
     )
 
 
+def test_sp_mel_step_exact_with_padding_and_trained_biases():
+    """Regression: the time-pad region used to be covered by zero FRAMES,
+    whose upsampler projection bias bleeds into the REAL tail through the
+    SAME conv window on trained params. Geometry chosen so the pad branch
+    fires (frames cover 50 of 52 padded samples) and every bias perturbed."""
+    from lb_wavenet_tpu.config import ArchConfig, TrainConfig
+    from lb_wavenet_tpu.data import make_batches, synthetic_corpus
+    from lb_wavenet_tpu.parallel.mesh import shard_params
+    from lb_wavenet_tpu.train import (
+        batch_to_device,
+        init_state,
+        make_sp_train_step,
+        seq_batch_to_device,
+        train_step,
+    )
+
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8, n_mels=8, cond_channels=8,
+        upsample_factors=(2,), compute_dtype="float32",
+    )
+    window = 41  # T = 8 + 41 = 49 -> tp = 52 > frame coverage 50: pad fires
+    train = TrainConfig(batch_size=2, window_size=window, learning_rate=1e-3,
+                        mesh_data=4, seq_parallel=True)
+    corpus = synthetic_corpus(arch, window, n_files=2, file_len=300)
+    batch = next(make_batches(corpus, train, with_mel=True))
+
+    mesh_sp = make_mesh(4, 1, devices=jax.devices()[:4])
+    mesh_1 = make_mesh(1, 1, devices=jax.devices()[:1])
+
+    def perturbed(state):
+        return state._replace(params=jax.tree_util.tree_map(
+            lambda a: a
+            + 0.1 * jax.random.normal(jax.random.key(a.size % 997), a.shape),
+            state.params,
+        ))
+
+    s_sp = shard_params(
+        perturbed(init_state(jax.random.key(0), arch, train)), mesh_sp
+    )
+    s_ref = shard_params(
+        perturbed(init_state(jax.random.key(0), arch, train)), mesh_1
+    )
+    sp_step = make_sp_train_step(mesh_sp, arch, train)
+    s_sp, loss_sp = sp_step(
+        s_sp, seq_batch_to_device(batch, mesh_sp, window, arch=arch)
+    )
+    s_ref, loss_ref = train_step(
+        s_ref, batch_to_device(batch, mesh_1, arch), arch, train
+    )
+    assert np.allclose(float(loss_sp), float(loss_ref), rtol=1e-5), (
+        float(loss_sp), float(loss_ref),
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        ),
+        s_sp.params,
+        s_ref.params,
+    )
+
+
 def test_sp_rejects_fused(tmp_path):
     from lb_wavenet_tpu.config import Config
     from lb_wavenet_tpu.data import synthetic_corpus
@@ -289,3 +351,8 @@ def test_sp_rejects_fused(tmp_path):
     corpus = synthetic_corpus(fused.arch, 32, n_files=1, file_len=200)
     with pytest.raises(ValueError, match="fused_stack"):
         run_training(fused, corpus=corpus)
+    accum = fused.override(
+        {"train.fused_stack": False, "train.grad_accum": 2}
+    )
+    with pytest.raises(ValueError, match="grad_accum"):
+        run_training(accum, corpus=corpus)
