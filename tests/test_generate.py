@@ -276,3 +276,52 @@ def test_mega_streaming_bit_matches_one_shot():
             np.concatenate(parts, axis=1), np.asarray(one_shot),
             err_msg=f"temperature={temp}",
         )
+
+
+def test_streaming_invariant_across_randomized_archs():
+    """Chunked streaming == one-shot, swept over randomized tiny archs AND
+    irregular chunk splits (the RNG chain and ring-slot phase must continue
+    across arbitrary chunk boundaries, incl. input_kernel == 3)."""
+    import numpy as np
+
+    from lb_wavenet_tpu.config import ArchConfig
+    from lb_wavenet_tpu.generate import (
+        generate_classes,
+        start_stream,
+        stream_chunk,
+    )
+
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        arch = ArchConfig(
+            n_blocks=int(rng.integers(1, 3)),
+            n_layers_per_block=int(rng.integers(2, 5)),
+            residual_channels=int(rng.choice([4, 8])),
+            skip_channels=int(rng.choice([4, 8])),
+            gate_channels=int(rng.choice([4, 8])),
+            input_kernel=int(rng.choice([2, 3])),
+            compute_dtype="float32",
+        )
+        params = init_params(jax.random.key(trial + 50), arch)
+        b, total = 2, 18
+        key = jax.random.key(trial + 500)
+        one_shot = np.asarray(
+            generate_classes(params, arch, key, b, total, temperature=1.0)
+        )
+        # Irregular split of `total` into 1..6-sample chunks.
+        splits = []
+        left = total
+        while left:
+            c = int(min(left, rng.integers(1, 7)))
+            splits.append(c)
+            left -= c
+        stream = start_stream(arch, b, key)
+        parts = []
+        for c in splits:
+            cls, stream = stream_chunk(params, arch, stream, c)
+            parts.append(np.asarray(cls))
+        np.testing.assert_array_equal(
+            np.concatenate(parts, axis=1), one_shot,
+            err_msg=f"trial {trial}: splits={splits}, "
+                    f"K={arch.input_kernel}",
+        )
