@@ -14,7 +14,10 @@ BENCH_CONFIG (arch preset: wavenet30 | stress), BENCH_ENGINE
 BENCH_STREAM_CHUNK (N > 0: drive the STREAMING session path in chunks of N
 samples — for the mel preset the conditioning is upsampled per chunk via
 StreamingUpsampler, so peak HBM is O(chunk) instead of O(total samples),
-unlocking batches the one-shot mel path cannot hold).
+unlocking batches the one-shot mel path cannot hold),
+BENCH_MODE=train (time the TRAINING step instead: fused+tapcat+grad_accum
+production recipe; vs_baseline is the ratio over the measured 1.78M
+samples/sec XLA-path step).
 """
 import json
 import os
@@ -42,6 +45,9 @@ def main() -> int:
     from lb_wavenet_tpu.config import ArchConfig
     from lb_wavenet_tpu.generate import generate_classes
     from lb_wavenet_tpu.models.wavenet import init_params
+
+    if os.environ.get("BENCH_MODE", "") == "train":
+        return _train_mode()
 
     preset = os.environ.get("BENCH_CONFIG", "wavenet30")
     if preset == "stress":
@@ -235,6 +241,69 @@ def main() -> int:
             }
         )
     )
+    return 0
+
+
+def _train_mode() -> int:
+    """Training-throughput headline: the production recipe (fused Pallas
+    stack + tapcat + exact gradient accumulation at the measured optimum
+    B=32/accum=4 micro-batch 8, W=6144). One JSON line, same schema."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from lb_wavenet_tpu.config import ArchConfig, TrainConfig
+    from lb_wavenet_tpu.train import init_state, train_step
+
+    arch = ArchConfig(
+        n_blocks=3, n_layers_per_block=10, residual_channels=64,
+        skip_channels=256, gate_channels=64,
+    )
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    window = int(os.environ.get("BENCH_WINDOW", "6144"))
+    accum = int(os.environ.get("BENCH_ACCUM", "4"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    train = TrainConfig(
+        batch_size=batch, window_size=window, fused_stack=True, tapcat=True,
+        grad_accum=accum,
+    )
+    state = init_state(jax.random.key(0), arch, train)
+    r = arch.receptive_field
+    x = jax.random.randint(
+        jax.random.key(1), (batch, r - 1 + window), 0, arch.quant_channels
+    ).astype(np.int32)
+    tgt = jax.random.randint(
+        jax.random.key(2), (batch, window), 0, arch.quant_channels
+    ).astype(np.int32)
+    b = {
+        "inputs": x, "targets": tgt,
+        "mask": jax.numpy.ones((batch, window), np.float32),
+    }
+    t0 = time.perf_counter()
+    state, loss = train_step(state, b, arch, train)
+    np.asarray(loss)
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, loss = train_step(state, b, arch, train)
+        np.asarray(loss)
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+    value = batch * window / best
+    print(json.dumps({
+        "metric": "train_throughput",
+        "value": round(value, 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(value / 1_780_000.0, 3),
+        "detail": {
+            "batch": batch, "window": window, "grad_accum": accum,
+            "step_ms": round(best * 1e3, 2), "compile_s": round(compile_s, 1),
+            "loss": round(float(np.asarray(loss)), 4),
+            "backend": jax.default_backend(),
+        },
+    }))
     return 0
 
 
