@@ -16,8 +16,11 @@ samples — for the mel preset the conditioning is upsampled per chunk via
 StreamingUpsampler, so peak HBM is O(chunk) instead of O(total samples),
 unlocking batches the one-shot mel path cannot hold),
 BENCH_MODE=train (time the TRAINING step instead: fused+tapcat+grad_accum
-production recipe; vs_baseline is the ratio over the measured 1.78M
-samples/sec XLA-path step).
+production recipe on the wavenet30 arch; knobs BENCH_BATCH / BENCH_WINDOW /
+BENCH_ACCUM / BENCH_STEPS; n-vs-2n difference timing like the synthesis
+path. vs_baseline is the ratio over the 1.78M samples/sec XLA-path step —
+reported only at the default shape, null otherwise, since the baseline was
+measured at one shape and would conflate shape effects).
 """
 import json
 import os
@@ -25,6 +28,13 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The canonical BASELINE config-2 geometry, shared by the synthesis preset
+# and BENCH_MODE=train so both headlines measure the SAME model.
+_WAVENET30 = dict(
+    n_blocks=3, n_layers_per_block=10, residual_channels=64,
+    skip_channels=256, gate_channels=64,
+)
 
 
 def main() -> int:
@@ -78,13 +88,7 @@ def main() -> int:
         # largest clean batch at the default clip length.
         batch = int(os.environ.get("BENCH_BATCH", "512"))
     else:
-        arch = ArchConfig(
-            n_blocks=3,
-            n_layers_per_block=10,
-            residual_channels=64,
-            skip_channels=256,
-            gate_channels=64,
-        )
+        arch = ArchConfig(**_WAVENET30)
         # B=1536 is the measured throughput optimum for the mega engine on
         # v5e with the D2H-free timing (2475 a-s/s vs 2250 @ B=1024/1280,
         # 1985 @ B=2048 — docs/kernels.md). The old "512 optimum" was a
@@ -246,24 +250,30 @@ def main() -> int:
 
 def _train_mode() -> int:
     """Training-throughput headline: the production recipe (fused Pallas
-    stack + tapcat + exact gradient accumulation at the measured optimum
-    B=32/accum=4 micro-batch 8, W=6144). One JSON line, same schema."""
-    import time
-
+    stack + tapcat + exact gradient accumulation; default B=32/accum=4 —
+    micro-batch 8 is the kernel's optimum; the recorded sweep PEAK is 4.23M
+    at B=256/accum=32, BASELINE.md). One JSON line, same schema; constant
+    per-call relay overhead cancelled by n-vs-2n difference timing."""
     import jax
     import numpy as np
 
     from lb_wavenet_tpu.config import ArchConfig, TrainConfig
     from lb_wavenet_tpu.train import init_state, train_step
 
-    arch = ArchConfig(
-        n_blocks=3, n_layers_per_block=10, residual_channels=64,
-        skip_channels=256, gate_channels=64,
-    )
+    preset = os.environ.get("BENCH_CONFIG", "wavenet30")
+    if preset != "wavenet30" or os.environ.get("BENCH_ENGINE"):
+        raise SystemExit(
+            "BENCH_MODE=train supports only the wavenet30 arch (see "
+            "scripts/train_bench.py for TB_MEL/TB_SKIP variants) and takes "
+            "no BENCH_ENGINE"
+        )
+    arch = ArchConfig(**_WAVENET30)
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     window = int(os.environ.get("BENCH_WINDOW", "6144"))
     accum = int(os.environ.get("BENCH_ACCUM", "4"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    if n_steps <= 0:
+        raise SystemExit(f"BENCH_STEPS must be positive, got {n_steps}")
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=True, tapcat=True,
         grad_accum=accum,
@@ -280,23 +290,36 @@ def _train_mode() -> int:
         "inputs": x, "targets": tgt,
         "mask": jax.numpy.ones((batch, window), np.float32),
     }
-    t0 = time.perf_counter()
-    state, loss = train_step(state, b, arch, train)
-    np.asarray(loss)
-    compile_s = time.perf_counter() - t0
-    best = float("inf")
-    for _ in range(3):
+
+    def run(k):
+        nonlocal state
         t0 = time.perf_counter()
-        for _ in range(n_steps):
+        for _ in range(k):
             state, loss = train_step(state, b, arch, train)
-        np.asarray(loss)
-        best = min(best, (time.perf_counter() - t0) / n_steps)
+        np.asarray(loss)  # scalar sync (block_until_ready unreliable on axon)
+        return time.perf_counter() - t0, loss
+
+    t0 = time.perf_counter()
+    run(1)
+    compile_s = time.perf_counter() - t0
+    # n vs 2n cancels the constant per-call dispatch + relay-fetch overhead
+    # (same methodology as the synthesis path).
+    t_short = t_long = float("inf")
+    for _ in range(3):
+        dt, loss = run(n_steps)
+        t_short = min(t_short, dt)
+        dt, loss = run(2 * n_steps)
+        t_long = min(t_long, dt)
+    best = max(t_long - t_short, 1e-9) / n_steps
     value = batch * window / best
+    default_shape = (batch, window, accum) == (32, 6144, 4)
     print(json.dumps({
         "metric": "train_throughput",
         "value": round(value, 1),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(value / 1_780_000.0, 3),
+        "vs_baseline": (
+            round(value / 1_780_000.0, 3) if default_shape else None
+        ),
         "detail": {
             "batch": batch, "window": window, "grad_accum": accum,
             "step_ms": round(best * 1e3, 2), "compile_s": round(compile_s, 1),
