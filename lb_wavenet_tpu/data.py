@@ -94,6 +94,7 @@ class Corpus:
         arch: ArchConfig,
         window_size: int,
         speakers: Optional[Sequence[int]] = None,
+        encoded: Optional[Sequence[np.ndarray]] = None,
     ):
         import jax
 
@@ -101,11 +102,20 @@ class Corpus:
         self.window_size = window_size
         self.r_field = arch.receptive_field
         self.waves = [np.asarray(w, dtype=np.float32) for w in waves]
-        # Encode on host once (jnp op, then pulled back to numpy).
-        self.encoded = [
-            np.asarray(mu_law_encode(jax.numpy.asarray(w), arch.quant_channels))
-            for w in self.waves
-        ]
+        if encoded is not None:
+            # Pre-encoded by the native ingest path (LUT — bit-identical to
+            # the jnp encoder by construction; see native/__init__.py).
+            self.encoded = [np.asarray(e, dtype=np.int32) for e in encoded]
+            assert len(self.encoded) == len(self.waves)
+        else:
+            # Encode on host once (jnp op, then pulled back to numpy).
+            self.encoded = [
+                np.asarray(
+                    mu_law_encode(jax.numpy.asarray(w), arch.quant_channels)
+                )
+                for w in self.waves
+            ]
+        self._packed: Optional[tuple] = None  # lazy (enc_concat, offsets)
         self.speakers = list(speakers) if speakers is not None else None
         # Flat index of (file, window) pairs.
         self.index: list[tuple[int, int]] = []
@@ -119,6 +129,12 @@ class Corpus:
     def from_dir(
         cls, data_dir: str, arch: ArchConfig, window_size: int
     ) -> "Corpus":
+        """Build from a directory of wavs.
+
+        Ingest (parse + mu-law encode) runs on the native C++ tier when
+        available — multithreaded across files, LUT encode (bit-identical to
+        the jnp path) — falling back per-file to scipy + jnp otherwise.
+        """
         paths = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir)
@@ -126,21 +142,84 @@ class Corpus:
         )
         if not paths:
             raise FileNotFoundError(f"No .wav files under {data_dir}")
-        waves = []
-        for p in paths:
-            w, sr = load_wav(p)
+
+        from . import native
+
+        results: list = [None] * len(paths)
+        use_native = native.is_available()
+        if use_native:
+            native.mulaw_lut(arch.quant_channels)  # build once, not per-thread
+
+            def ingest(i: int) -> None:
+                with open(paths[i], "rb") as f:
+                    raw = f.read()
+                results[i] = native.ingest_wav(raw, arch.quant_channels)
+
+            import concurrent.futures as cf
+
+            workers = min(os.cpu_count() or 1, 4)
+            with cf.ThreadPoolExecutor(workers) as ex:
+                list(ex.map(ingest, range(len(paths))))
+
+        waves, encoded = [], []
+        any_python = False
+        for p, res in zip(paths, results):
+            if res is None:  # native off / non-mono / non-PCM16
+                w, sr = load_wav(p)
+                any_python = True
+                enc = None
+            else:
+                w, enc, sr = res
             if sr != arch.sample_rate:
                 raise ValueError(
                     f"{p}: sample rate {sr} != configured {arch.sample_rate}"
                 )
             waves.append(w)
-        return cls(waves, arch, window_size)
+            encoded.append(enc)
+        if any_python or not use_native:
+            return cls(waves, arch, window_size)  # jnp-encode everything
+        return cls(waves, arch, window_size, encoded=encoded)
 
     def example(self, fi: int, wi: int):
         inputs, targets, mask = geometry.extract_window(
             self.encoded[fi], self.window_size, self.r_field, wi
         )
         return inputs, targets, mask
+
+    def _packed_corpus(self):
+        """(enc_concat int32, offsets int64) for the native assembly path."""
+        if self._packed is None:
+            offsets = np.zeros(len(self.encoded) + 1, dtype=np.int64)
+            np.cumsum([len(e) for e in self.encoded], out=offsets[1:])
+            concat = (
+                np.concatenate(self.encoded).astype(np.int32, copy=False)
+                if self.encoded
+                else np.zeros(0, np.int32)
+            )
+            self._packed = (np.ascontiguousarray(concat), offsets)
+        return self._packed
+
+    def examples_batch(self, pairs: Sequence[tuple]):
+        """Batched (inputs, targets, mask) for B (file, window) pairs.
+
+        Uses the native C++ assembler (multithreaded, GIL-free) when
+        available; bit-exact vs the per-row Python path (tests/test_native).
+        """
+        from . import native
+
+        if native.is_available():
+            enc, offsets = self._packed_corpus()
+            out = native.assemble_windows(
+                enc, offsets, pairs, self.window_size, self.r_field
+            )
+            if out is not None:
+                return out
+        rows = [self.example(*p) for p in pairs]
+        return (
+            np.stack([r[0] for r in rows]),
+            np.stack([r[1] for r in rows]),
+            np.stack([r[2] for r in rows]),
+        )
 
     def _window_segment(self, fi: int, wi: int) -> np.ndarray:
         """Float waveform over the window's model-input span (zero padded
@@ -268,9 +347,7 @@ def make_batches(
             picks = [perm[(offset + k) % n] for k in range(train.batch_size)]
             pairs = [corpus.index[r] for r in picks[host_id::host_count]]
         assert len(pairs) == per_host
-        inputs = np.stack([corpus.example(*p)[0] for p in pairs])
-        targets = np.stack([corpus.example(*p)[1] for p in pairs])
-        mask = np.stack([corpus.example(*p)[2] for p in pairs])
+        inputs, targets, mask = corpus.examples_batch(pairs)
         mel = None
         if with_mel:
             mel = corpus.mel_for_windows(pairs, n_frames)
