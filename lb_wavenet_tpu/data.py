@@ -117,6 +117,7 @@ class Corpus:
             ]
         self._packed: Optional[tuple] = None  # lazy (enc_concat, offsets)
         self.speakers = list(speakers) if speakers is not None else None
+        self.speaker_names: Optional[list] = None  # set by from_dir
         # Flat index of (file, window) pairs.
         self.index: list[tuple[int, int]] = []
         for fi, enc in enumerate(self.encoded):
@@ -131,15 +132,62 @@ class Corpus:
     ) -> "Corpus":
         """Build from a directory of wavs.
 
+        Two layouts:
+          * flat — `data_dir/*.wav`: unlabeled corpus (no global cond);
+          * per-speaker — `data_dir/<speaker>/*.wav`: each sorted
+            subdirectory name is one speaker, assigned ids 0..S-1
+            (`corpus.speaker_names` records the mapping). Requires
+            `arch.n_speakers >= S` when the arch is globally conditioned;
+            with `n_speakers == 0` the labels are dropped with a warning
+            (training proceeds unconditioned).
+
         Ingest (parse + mu-law encode) runs on the native C++ tier when
         available — multithreaded across files, LUT encode (bit-identical to
         the jnp path) — falling back per-file to scipy + jnp otherwise.
         """
-        paths = sorted(
-            os.path.join(data_dir, f)
-            for f in os.listdir(data_dir)
-            if f.lower().endswith(".wav")
-        )
+        import warnings
+
+        def wavs_in(d: str) -> list:
+            return sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.lower().endswith(".wav")
+            )
+
+        flat = wavs_in(data_dir)
+        by_speaker = [
+            (name, wavs)
+            for name in sorted(os.listdir(data_dir))
+            if os.path.isdir(os.path.join(data_dir, name))
+            and (wavs := wavs_in(os.path.join(data_dir, name)))
+        ]
+        speakers: Optional[list] = None
+        speaker_names: Optional[list] = None
+        if by_speaker and flat:
+            raise ValueError(
+                f"{data_dir}: ambiguous layout — wav files both at the top "
+                "level and inside speaker subdirectories"
+            )
+        if by_speaker:
+            paths = [p for _, wavs in by_speaker for p in wavs]
+            if arch.use_global_cond:
+                if len(by_speaker) > arch.n_speakers:
+                    raise ValueError(
+                        f"{data_dir}: {len(by_speaker)} speaker directories "
+                        f"but arch.n_speakers={arch.n_speakers}"
+                    )
+                speakers = [
+                    si for si, (_, wavs) in enumerate(by_speaker)
+                    for _ in wavs
+                ]
+                speaker_names = [name for name, _ in by_speaker]
+            else:
+                warnings.warn(
+                    f"{data_dir} has speaker subdirectories but "
+                    "arch.n_speakers == 0; training unconditioned"
+                )
+        else:
+            paths = flat
         if not paths:
             raise FileNotFoundError(f"No .wav files under {data_dir}")
 
@@ -177,8 +225,12 @@ class Corpus:
             waves.append(w)
             encoded.append(enc)
         if any_python or not use_native:
-            return cls(waves, arch, window_size)  # jnp-encode everything
-        return cls(waves, arch, window_size, encoded=encoded)
+            encoded = None  # jnp-encode everything
+        corpus = cls(
+            waves, arch, window_size, speakers=speakers, encoded=encoded
+        )
+        corpus.speaker_names = speaker_names
+        return corpus
 
     def example(self, fi: int, wi: int):
         inputs, targets, mask = geometry.extract_window(

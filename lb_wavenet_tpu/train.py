@@ -479,7 +479,11 @@ def run_training(
                 )
             metrics.log(step=i + 1, **record)
             t_last = time.perf_counter()  # exclude eval from step timing
-        if (i + 1) % train.checkpoint_every == 0 or i + 1 == total:
+        # checkpoint_every == 0 disables periodic saves (final save kept).
+        if i + 1 == total or (
+            train.checkpoint_every > 0
+            and (i + 1) % train.checkpoint_every == 0
+        ):
             # Cross-host divergence guard before persisting (SURVEY.md §5).
             multihost.assert_replicated_params(state.params, i + 1)
             ckpt_lib.save(manager, state, i + 1)
