@@ -108,13 +108,31 @@ class Corpus:
             self.encoded = [np.asarray(e, dtype=np.int32) for e in encoded]
             assert len(self.encoded) == len(self.waves)
         else:
-            # Encode on host once (jnp op, then pulled back to numpy).
-            self.encoded = [
-                np.asarray(
-                    mu_law_encode(jax.numpy.asarray(w), arch.quant_channels)
-                )
-                for w in self.waves
-            ]
+            # Encode once on the CPU backend (not the session default
+            # device): keeps the oracle on the SAME backend that generates
+            # the native tier's LUT (native.mulaw_lut) so native-on and
+            # native-off corpora are bit-identical even if an accelerator's
+            # log1p differs by a ULP near a class boundary — and avoids a
+            # per-file device round-trip over this image's TPU relay.
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None
+            import contextlib
+
+            ctx = (
+                jax.default_device(cpu) if cpu is not None
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                self.encoded = [
+                    np.asarray(
+                        mu_law_encode(
+                            jax.numpy.asarray(w), arch.quant_channels
+                        )
+                    )
+                    for w in self.waves
+                ]
         self._packed: Optional[tuple] = None  # lazy (enc_concat, offsets)
         self.speakers = list(speakers) if speakers is not None else None
         self.speaker_names: Optional[list] = None  # set by from_dir
@@ -201,7 +219,10 @@ class Corpus:
             def ingest(i: int) -> None:
                 with open(paths[i], "rb") as f:
                     raw = f.read()
-                results[i] = native.ingest_wav(raw, arch.quant_channels)
+                try:
+                    results[i] = native.ingest_wav(raw, arch.quant_channels)
+                except ValueError as e:  # name the offending file
+                    raise ValueError(f"{paths[i]}: {e}") from e
 
             import concurrent.futures as cf
 

@@ -22,6 +22,7 @@
 //   targets[k] = enc[t0+k] if t0+k < t1 else 0
 //   mask[k]    = (t0+k < t1 && t0+k-R >= 0) ? 1.0f : 0.0f
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -75,13 +76,17 @@ int parse_wav(const uint8_t* buf, int64_t n, WavInfo* out) {
       channels = rd_u16(buf + body + 2);
       sample_rate = rd_u32(buf + body + 4);
       bits = rd_u16(buf + body + 14);
+      if (audio_format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real codec is the first two bytes of
+        // the SubFormat GUID (fmt body offset 24). Anything but PCM(1) must
+        // NOT be decoded as linear PCM — route to the Python fallback.
+        if (size < 40) return -2;
+        audio_format = rd_u16(buf + body + 24);
+      }
       have_fmt = true;
     } else if (std::memcmp(hdr, "data", 4) == 0) {
       if (!have_fmt) return -1;
-      // WAVE_FORMAT_PCM=1; also accept EXTENSIBLE(0xFFFE) w/ 16-bit samples.
-      if ((audio_format != 1 && audio_format != 0xFFFE) || bits != 16) {
-        return -2;
-      }
+      if (audio_format != 1 || bits != 16) return -2;  // PCM16 only
       if (channels == 0) return -1;
       out->n_frames = static_cast<int64_t>(size) / (2 * channels);
       out->sample_rate = static_cast<int32_t>(sample_rate);
@@ -145,20 +150,40 @@ int64_t wavenet_ingest_wav(const uint8_t* buf, int64_t nbytes,
 // Assemble a batch of teacher-forcing windows from a packed corpus.
 //   enc:      concatenated mu-law classes of all files
 //   offsets:  F+1 prefix offsets into enc (offsets[f]..offsets[f+1])
+//   n_files:  F (bounds-checks the fi indices)
 //   fis/wis:  B (file, window) pairs
 //   inputs:   int32  [B, R-1+W]
 //   targets:  int32  [B, W]
 //   mask:     float32[B, W]
-void wavenet_assemble(const int32_t* enc, const int64_t* offsets,
-                      const int32_t* fis, const int32_t* wis, int64_t b,
-                      int64_t w, int64_t r, int32_t* inputs, int32_t* targets,
-                      float* mask, int32_t n_threads) {
+// Returns 0, or -(row+1) for the first row whose (fi, wi) pair is out of
+// range (fi outside [0, F) or wi >= num_windows(file_len, w)) — unchecked,
+// a bad wi would make t1 - t0 negative and memcpy a huge size_t.
+int64_t wavenet_assemble(const int32_t* enc, const int64_t* offsets,
+                         int64_t n_files, const int32_t* fis,
+                         const int32_t* wis, int64_t b, int64_t w, int64_t r,
+                         int32_t* inputs, int32_t* targets, float* mask,
+                         int32_t n_threads) {
   const int64_t in_len = r - 1 + w;
+  std::atomic<int64_t> bad_row(-1);
   parallel_rows(b, n_threads, [&](int64_t lo, int64_t hi) {
     for (int64_t row = lo; row < hi; ++row) {
-      const int32_t* file = enc + offsets[fis[row]];
-      const int64_t n = offsets[fis[row] + 1] - offsets[fis[row]];
-      const int64_t t0 = 1 + static_cast<int64_t>(wis[row]) * w;
+      const int64_t fi = fis[row];
+      const int64_t wi = wis[row];
+      if (fi < 0 || fi >= n_files) {
+        bad_row.store(row);
+        return;
+      }
+      const int64_t file_len = offsets[fi + 1] - offsets[fi];
+      // num_windows: 0 for file_len < 2, else ceil((file_len - 1) / w).
+      const int64_t n_windows =
+          file_len < 2 ? 0 : (file_len - 1 + w - 1) / w;
+      if (wi < 0 || wi >= n_windows) {
+        bad_row.store(row);
+        return;
+      }
+      const int32_t* file = enc + offsets[fi];
+      const int64_t n = file_len;
+      const int64_t t0 = 1 + wi * w;
       const int64_t t1 = std::min(t0 + w, n);
       const int64_t in_start = t0 - r;
       int32_t* in_row = inputs + row * in_len;
@@ -185,6 +210,8 @@ void wavenet_assemble(const int32_t* enc, const int64_t* offsets,
       std::fill(mk_row + n_real, mk_row + w, 0.0f);
     }
   });
+  const int64_t bad = bad_row.load();
+  return bad < 0 ? 0 : -(bad + 1);
 }
 
 }  // extern "C"

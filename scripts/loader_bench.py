@@ -72,10 +72,9 @@ def main():
     import json
     import tempfile
 
-    arch = ArchConfig(
-        n_blocks=3, n_layers_per_block=10, residual_channels=64,
-        skip_channels=256, gate_channels=64,
-    )
+    from bench import _WAVENET30  # the one shared production geometry
+
+    arch = ArchConfig(**_WAVENET30)
     assert native.is_available(), "native tier failed to build"
     with tempfile.TemporaryDirectory() as td:
         ingest = bench_ingest(td, arch)

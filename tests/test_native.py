@@ -80,6 +80,74 @@ def test_ingest_rejects_malformed_and_falls_back_cleanly():
     assert native.ingest_wav(bytes(raw), 256) is None
 
 
+def test_extensible_non_pcm_falls_back():
+    """WAVE_FORMAT_EXTENSIBLE whose SubFormat GUID is NOT PCM must go to
+    the Python fallback, not be silently decoded as linear PCM."""
+    pcm = np.zeros(32, dtype=np.int16)
+    payload = pcm.tobytes()
+    # 40-byte extensible fmt: format 0xFFFE, GUID format code 3 (IEEE float)
+    guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(12)
+    body = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+    body += struct.pack("<HH", 22, 16) + struct.pack("<I", 0) + guid
+    chunks = b"fmt " + struct.pack("<I", len(body)) + body
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    raw = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert native.ingest_wav(raw, 256) is None
+
+    # ... while an extensible container whose GUID IS PCM ingests fine.
+    guid_pcm = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    body2 = body[:-16] + guid_pcm
+    chunks = b"fmt " + struct.pack("<I", len(body2)) + body2
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    raw = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    out = native.ingest_wav(raw, 256)
+    assert out is not None and len(out[0]) == 32
+
+
+def test_assemble_out_of_range_pair_raises():
+    """A bad (fi, wi) pair raises IndexError instead of corrupting memory."""
+    enc = np.arange(10, dtype=np.int32)
+    offsets = np.array([0, 10], dtype=np.int64)
+    with pytest.raises(IndexError, match="out of range"):
+        native.assemble_windows(enc, offsets, [(0, 5)], 4, 3)  # wi max is 2
+    with pytest.raises(IndexError, match="out of range"):
+        native.assemble_windows(enc, offsets, [(1, 0)], 4, 3)  # fi max is 0
+    with pytest.raises(IndexError, match="out of range"):
+        native.assemble_windows(enc, offsets, [(0, 0), (0, -1)], 4, 3)
+
+
+def test_kill_switch_never_builds(monkeypatch):
+    """WAVENET_NATIVE_LOADER=0 must not trigger a g++ compile."""
+    monkeypatch.setenv("WAVENET_NATIVE_LOADER", "0")
+
+    def boom():  # _lib() being reached means a build could start
+        raise AssertionError("_lib() called despite the kill switch")
+
+    monkeypatch.setattr(native, "_lib", boom)
+    assert native.ingest_wav(b"\x00" * 16, 256) is None
+    assert (
+        native.assemble_windows(
+            np.zeros(4, np.int32), np.array([0, 4], np.int64), [(0, 0)], 2, 1
+        )
+        is None
+    )
+    assert native.is_available() is False
+
+
+def test_from_dir_ingest_error_names_file(tmp_path):
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8,
+    )
+    pcm = np.zeros(500, dtype=np.int16)
+    (tmp_path / "ok.wav").write_bytes(_wav_bytes(pcm, arch.sample_rate))
+    # Truncated container: data chunk promises more bytes than exist.
+    good = _wav_bytes(pcm, arch.sample_rate)
+    (tmp_path / "bad.wav").write_bytes(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="bad.wav"):
+        data.Corpus.from_dir(str(tmp_path), arch, window_size=64)
+
+
 def test_assemble_matches_extract_window_randomized():
     """Randomized files/windows incl. edge windows, short files, big R."""
     rng = np.random.default_rng(1)
