@@ -739,6 +739,91 @@ def _mega_stream_chunk(
     return cls_bt, new_stream
 
 
+@functools.partial(jax.jit, static_argnames=("arch", "engine"))
+def reset_lanes(
+    params: Params,
+    arch: ArchConfig,
+    stream: Stream,
+    lane_mask: jnp.ndarray,  # (B,) bool: True = recycle this lane
+    engine: str = "xla",
+) -> Stream:
+    """Continuous batching: reset the masked lanes to a fresh session start.
+
+    Production serving runs many concurrent sessions as lanes of one
+    fixed-shape streaming batch (compiled once); when a session finishes,
+    its lane is recycled for the next request in place — no batch restart,
+    no recompile, other lanes unaffected. The reference has no serving
+    tier; this is the TPU-native equivalent of continuous batching in LLM
+    servers, adapted to ring-buffer AR state.
+
+    Why zeroing works at any global phase: each layer's ring is read at
+    slot (t mod d) *before* being written at the same slot, so a lane whose
+    ring columns are all zero sees exactly the all-zero pre-start context a
+    t=0 session sees, regardless of the session-global step the reset
+    happens at. Greedy/teacher-forced output of a recycled lane is
+    therefore BIT-IDENTICAL to a fresh session (tests/test_continuous.py).
+
+    RNG: the sampling chain is session-global (one seed per step for the
+    whole batch), so a recycled lane draws fresh independent randomness but
+    not the same stream a standalone session would — per-request sampled
+    reproducibility needs a dedicated session; xla and pallas engines still
+    bit-match EACH OTHER after resets (shared chain).
+    """
+    lane_mask = lane_mask.astype(bool)
+    st = stream.state
+    if engine in ("xla", "pallas"):
+        rs: RingState = st
+        col = lane_mask[None, :, None]
+        return Stream(
+            RingState(
+                embed_buf=jnp.where(col, 0.0, rs.embed_buf),
+                bufs=jnp.where(col, 0.0, rs.bufs),
+                prev_class=jnp.where(
+                    lane_mask, arch.quant_channels // 2, rs.prev_class
+                ),
+                rng=rs.rng,
+            ),
+            stream.t,
+        )
+    if engine == "turbo":
+        b = st["e"].shape[0]
+        h0, e0 = _fused_frontend_zero(params, arch, b)
+        row = lane_mask[:, None]
+        return Stream(
+            {
+                "bufs": jnp.where(lane_mask[None, :, None], 0.0, st["bufs"]),
+                "e": jnp.where(row, e0.astype(st["e"].dtype), st["e"]),
+                "h": jnp.where(row, h0.astype(st["h"].dtype), st["h"]),
+                "seed_base": st["seed_base"],
+            },
+            stream.t,
+        )
+    if engine == "mega":
+        carry = st["carry"]
+        b = carry["h_s"].shape[-1]
+        h0, e0 = _fused_frontend_zero(params, arch, b)
+        col = lane_mask[None, :]  # feature-major (X, B): lanes are columns
+        return Stream(
+            {
+                "carry": {
+                    "bufs": jnp.where(col, 0.0, carry["bufs"]),
+                    "hstate": jnp.where(col, 0.0, carry["hstate"]),
+                    "h_s": jnp.where(
+                        col, jnp.swapaxes(h0, 0, 1).astype(jnp.float32),
+                        carry["h_s"],
+                    ),
+                    "e_s": jnp.where(
+                        col, jnp.swapaxes(e0, 0, 1).astype(jnp.float32),
+                        carry["e_s"],
+                    ),
+                },
+                "seed_base": st["seed_base"],
+            },
+            stream.t,
+        )
+    raise ValueError(f"unknown engine {engine!r}")
+
+
 def generate_streaming(
     params: Params,
     arch: ArchConfig,
