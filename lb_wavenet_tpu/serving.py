@@ -1,0 +1,180 @@
+"""Host-side continuous-batching serving loop over streaming sessions.
+
+The device-side primitives live in generate.py (`start_stream`,
+`stream_chunk`, `reset_lanes`); this module is the thin host bookkeeping
+that turns them into a request-serving fleet: a fixed-shape streaming
+batch compiled ONCE, whose lanes are leased to requests and recycled in
+place as they finish (docs/serving.md "Continuous batching"). The
+reference has no serving tier (SURVEY.md §3.2 — one Session.run per
+sample); this is the build-side production counterpart.
+
+Design constraints that shape the code:
+  * everything device-side stays fixed-shape (one compile): the pool
+    always steps ALL lanes and discards idle lanes' output on the host;
+  * per-request sampled audio is independent but not bit-reproducible
+    against a dedicated session (the RNG chain is session-global — see
+    reset_lanes); greedy/teacher-forced output IS bit-identical, which is
+    what the tests pin;
+  * mel conditioning is per-chunk host data (cond cursors differ per
+    lane), so the pool accepts a per-request `cond_fn(t0, n) -> (n, Cc)`
+    callback and assembles the batch cond slab itself.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ArchConfig
+from .generate import Params, reset_lanes, start_stream, stream_chunk
+
+
+@dataclasses.dataclass
+class _Lease:
+    request_id: object
+    remaining: int          # samples still to emit
+    emitted: int = 0
+    speaker: Optional[int] = None
+    cond_fn: Optional[Callable] = None  # (t_local, n) -> (n, Cc) np array
+    t_local: int = 0        # samples generated for THIS request so far
+
+
+class SessionPool:
+    """Continuous-batching pool: N concurrent AR synthesis sessions/chip.
+
+    Usage (docs/serving.md):
+
+        pool = SessionPool(params, arch, batch=128, rng=jax.random.key(0),
+                           engine="mega", chunk_size=1024)
+        pool.submit("req-1", n_samples=16000, speaker=3)
+        while pool.active:
+            for rid, (classes, done) in pool.step().items():
+                deliver(rid, classes, done)   # (n,) int32 mu-law classes
+
+    submit() returns False when no lane is free (caller queues and retries
+    after a step()). Lanes are recycled with generate.reset_lanes the step
+    after their request completes.
+    """
+
+    def __init__(
+        self,
+        params: Params,
+        arch: ArchConfig,
+        batch: int,
+        rng: jax.Array,
+        engine: str = "mega",
+        chunk_size: int = 1024,
+        temperature: float = 1.0,
+    ):
+        self.params = params
+        self.arch = arch
+        self.batch = batch
+        self.engine = engine
+        self.chunk_size = chunk_size
+        self.temperature = temperature
+        self.stream = start_stream(arch, batch, rng, engine=engine,
+                                   params=params)
+        self._lanes: List[Optional[_Lease]] = [None] * batch
+        self._pending_reset = np.zeros(batch, dtype=bool)
+        # Lane 0..B-1 of a brand-new stream is already a fresh session, so
+        # the first lease per lane needs no reset.
+        self._fresh = np.ones(batch, dtype=bool)
+
+    # -- request lifecycle ---------------------------------------------
+
+    @property
+    def active(self) -> bool:
+        return any(lease is not None for lease in self._lanes)
+
+    def free_lanes(self) -> int:
+        return sum(lease is None for lease in self._lanes)
+
+    def submit(
+        self,
+        request_id,
+        n_samples: int,
+        speaker: Optional[int] = None,
+        cond_fn: Optional[Callable] = None,
+    ) -> bool:
+        """Lease a free lane to a request; False if the pool is full."""
+        if n_samples <= 0:
+            raise ValueError(f"n_samples must be positive, got {n_samples}")
+        if speaker is not None and not self.arch.use_global_cond:
+            raise ValueError("speaker given but arch.n_speakers == 0")
+        if (cond_fn is not None) != self.arch.use_local_cond:
+            raise ValueError(
+                "cond_fn must be passed iff the arch is mel-conditioned"
+            )
+        for i, lease in enumerate(self._lanes):
+            if lease is None:
+                self._lanes[i] = _Lease(
+                    request_id, n_samples, speaker=speaker, cond_fn=cond_fn
+                )
+                if not self._fresh[i]:
+                    self._pending_reset[i] = True
+                self._fresh[i] = False
+                return True
+        return False
+
+    # -- the serving step ------------------------------------------------
+
+    def step(self) -> Dict[object, tuple]:
+        """Advance every lane one chunk; returns {request_id: (classes,
+        done)} for leased lanes, where classes is the request's next
+        (<= chunk_size,) int32 slice (trimmed to its remaining length)."""
+        if self._pending_reset.any():
+            self.stream = reset_lanes(
+                self.params, self.arch, self.stream,
+                jnp.asarray(self._pending_reset), engine=self.engine,
+            )
+            self._pending_reset[:] = False
+
+        speaker_ids = None
+        if self.arch.use_global_cond:
+            ids = [
+                lease.speaker if lease is not None and lease.speaker
+                is not None else 0
+                for lease in self._lanes
+            ]
+            speaker_ids = jnp.asarray(ids, jnp.int32)
+        cond = None
+        if self.arch.use_local_cond:
+            cc = self.arch.cond_channels
+            slab = np.zeros((self.batch, self.chunk_size, cc), np.float32)
+            for i, lease in enumerate(self._lanes):
+                if lease is not None:
+                    span = np.asarray(
+                        lease.cond_fn(lease.t_local, self.chunk_size)
+                    )
+                    if span.shape != (self.chunk_size, cc):
+                        raise ValueError(
+                            f"cond_fn returned {span.shape}, expected "
+                            f"({self.chunk_size}, {cc})"
+                        )
+                    slab[i] = span
+            cond = jnp.asarray(slab, jnp.dtype(self.arch.compute_dtype))
+
+        classes, self.stream = stream_chunk(
+            self.params, self.arch, self.stream, self.chunk_size,
+            cond=cond, speaker_ids=speaker_ids,
+            temperature=self.temperature, engine=self.engine,
+        )
+        classes = np.asarray(classes)
+
+        out: Dict[object, tuple] = {}
+        for i, lease in enumerate(self._lanes):
+            if lease is None:
+                continue
+            n = min(self.chunk_size, lease.remaining)
+            lease.remaining -= n
+            lease.emitted += n
+            lease.t_local += self.chunk_size
+            done = lease.remaining == 0
+            out[lease.request_id] = (classes[i, :n], done)
+            if done:
+                self._lanes[i] = None
+                self._pending_reset[i] = True
+        return out

@@ -1,0 +1,134 @@
+"""SessionPool: continuous-batching serving loop invariants.
+
+Pins the host bookkeeping (lb_wavenet_tpu/serving.py) to the device
+primitives it composes: under greedy decoding every pooled request's
+output is bit-identical to a dedicated single-session run with the same
+speaker/conditioning — including requests served on RECYCLED lanes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lb_wavenet_tpu.config import ArchConfig
+from lb_wavenet_tpu.generate import start_stream, stream_chunk
+from lb_wavenet_tpu.models.wavenet import init_params
+from lb_wavenet_tpu.serving import SessionPool
+
+CHUNK = 16
+
+
+def _drain(pool, want, got=None):
+    """Run the pool until the `want` ids are done. Accumulates EVERY
+    request's chunks into `got` (pass the same dict across drains so
+    chunks emitted for still-running requests are not lost); returns
+    {rid: concatenated classes} for the finished `want` ids."""
+    got = {} if got is None else got
+    done = set()
+    for _ in range(200):
+        for rid, (classes, fin) in pool.step().items():
+            got.setdefault(rid, []).append(classes)
+            if fin:
+                done.add(rid)
+        if done >= set(want):
+            break
+    assert done >= set(want), f"undrained: {set(want) - done}"
+    return got, {rid: np.concatenate(got[rid]) for rid in want}
+
+
+def _dedicated(params, arch, n, speaker=None, cond_full=None):
+    """Greedy single-session reference: B=1 xla stream."""
+    stream = start_stream(arch, 1, jax.random.key(99), engine="xla",
+                          params=params)
+    sid = jnp.asarray([speaker], jnp.int32) if speaker is not None else None
+    outs, t = [], 0
+    while t < n:
+        cond = None
+        if cond_full is not None:
+            cond = cond_full[None, t : t + CHUNK]
+        classes, stream = stream_chunk(
+            params, arch, stream, CHUNK, cond=cond, speaker_ids=sid,
+            temperature=0.0, engine="xla",
+        )
+        outs.append(np.asarray(classes)[0])
+        t += CHUNK
+    return np.concatenate(outs)[:n]
+
+
+def test_pool_matches_dedicated_sessions_with_speakers():
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, n_speakers=4,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    pool = SessionPool(params, arch, batch=2, rng=jax.random.key(1),
+                       engine="xla", chunk_size=CHUNK, temperature=0.0)
+
+    # Two initial requests with different speakers and lengths.
+    assert pool.submit("a", n_samples=3 * CHUNK, speaker=1)
+    assert pool.submit("b", n_samples=CHUNK + 3, speaker=2)
+    assert not pool.submit("c", n_samples=CHUNK, speaker=3)  # pool full
+    acc, fin = _drain(pool, ["b"])
+    out_b = fin["b"]
+
+    # Lane freed -> "c" lands on a RECYCLED lane mid-session.
+    assert pool.submit("c", n_samples=2 * CHUNK, speaker=3)
+    _, rest = _drain(pool, ["a", "c"], got=acc)
+
+    for rid, n, spk, seq in [
+        ("a", 3 * CHUNK, 1, rest["a"]),
+        ("b", CHUNK + 3, 2, out_b),
+        ("c", 2 * CHUNK, 3, rest["c"]),
+    ]:
+        ref = _dedicated(params, arch, n, speaker=spk)
+        np.testing.assert_array_equal(seq, ref, err_msg=rid)
+        assert len(seq) == n
+
+    assert not pool.active and pool.free_lanes() == 2
+
+
+def test_pool_mel_conditioned_matches_dedicated():
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, n_mels=8, cond_channels=16,
+        upsample_factors=(2, 2), compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    # Two requests with distinct deterministic (upsampled) cond streams.
+    conds = {
+        rid: np.asarray(
+            jax.random.normal(jax.random.key(k), (4 * CHUNK, arch.cond_channels)),
+            np.float32,
+        )
+        for rid, k in [("x", 5), ("y", 6)]
+    }
+
+    def fn(rid):
+        return lambda t0, n: conds[rid][t0 : t0 + n]
+
+    pool = SessionPool(params, arch, batch=2, rng=jax.random.key(1),
+                       engine="xla", chunk_size=CHUNK, temperature=0.0)
+    assert pool.submit("x", n_samples=2 * CHUNK, cond_fn=fn("x"))
+    assert pool.submit("y", n_samples=3 * CHUNK, cond_fn=fn("y"))
+    _, got = _drain(pool, ["x", "y"])
+    for rid, n in [("x", 2 * CHUNK), ("y", 3 * CHUNK)]:
+        cond_full = jnp.asarray(conds[rid])
+        ref = _dedicated(params, arch, n, cond_full=cond_full)
+        np.testing.assert_array_equal(got[rid], ref, err_msg=rid)
+
+
+def test_pool_validation():
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    pool = SessionPool(params, arch, batch=1, rng=jax.random.key(1),
+                       engine="xla", chunk_size=CHUNK)
+    with pytest.raises(ValueError, match="n_speakers"):
+        pool.submit("r", n_samples=8, speaker=1)
+    with pytest.raises(ValueError, match="cond_fn"):
+        pool.submit("r", n_samples=8, cond_fn=lambda t, n: None)
+    with pytest.raises(ValueError, match="positive"):
+        pool.submit("r", n_samples=0)
