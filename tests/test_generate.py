@@ -300,6 +300,8 @@ def test_streaming_invariant_across_randomized_archs():
             skip_channels=int(rng.choice([4, 8])),
             gate_channels=int(rng.choice([4, 8])),
             input_kernel=int(rng.choice([2, 3])),
+            # Sweep mu-law depth too (sampling + rings must not assume 256).
+            quant_channels=int(rng.choice([64, 128, 256])),
             compute_dtype="float32",
         )
         params = init_params(jax.random.key(trial + 50), arch)

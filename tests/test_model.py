@@ -109,12 +109,14 @@ def test_invariant_across_randomized_archs():
             skip_channels=int(rng.choice([4, 8, 16])),
             gate_channels=int(rng.choice([4, 8])),
             input_kernel=int(rng.choice([2, 3])),
+            # Non-default mu-law depths must work end to end too.
+            quant_channels=int(rng.choice([64, 128, 256])),
             compute_dtype="float32",
         )
         params = init_params(jax.random.key(trial), arch)
         b, t = 2, 12
         forced = jax.numpy.asarray(
-            rng.integers(0, 256, (b, t)), jax.numpy.int32
+            rng.integers(0, arch.quant_channels, (b, t)), jax.numpy.int32
         )
         # Teacher-forced scan logits at step s consume classes [0..s] with
         # zero-class left padding — exactly forward() on the same prefix.
