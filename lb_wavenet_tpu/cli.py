@@ -507,6 +507,112 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Continuous-batching request server (serving.SessionPool): replay a
+    requests JSONL through ONE fixed-shape streaming batch — finished lanes
+    are recycled in place — writing each request's wav as it completes."""
+    cfg = _load_config(args)
+    import re
+
+    import jax
+    import numpy as np
+
+    from .data import write_wav
+    from .generate import mu_law_decode
+    from .serving import SessionPool
+    from .train import init_state
+    from .utils.checkpoint import restore_params
+
+    if cfg.arch.use_local_cond:
+        raise SystemExit(
+            "wavenet serve covers unconditioned/speaker archs; "
+            "mel-conditioned serving needs a per-request cond stream — use "
+            "serving.SessionPool with cond_fn (docs/serving.md)"
+        )
+    template = init_state(jax.random.key(0), cfg.arch, cfg.train)
+    params = restore_params(
+        cfg.gen.checkpoint_dir, template, prefer_ema=args.ema
+    )
+
+    requests = []
+    seen = set()
+    with open(args.requests) as f:
+        for ln, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                r = json.loads(line)
+                rid, n = str(r["id"]), int(r["n_samples"])
+            except (json.JSONDecodeError, KeyError, ValueError) as e:
+                raise SystemExit(f"{args.requests}:{ln}: {e}")
+            if rid in seen:
+                raise SystemExit(f"{args.requests}:{ln}: duplicate id {rid!r}")
+            seen.add(rid)
+            requests.append((rid, n, r.get("speaker")))
+    if not requests:
+        raise SystemExit(f"{args.requests}: no requests")
+
+    chunk = args.stream_chunk or 1024
+    # Same default ladder as generate/bench: mega when the batch is
+    # lane-aligned, else turbo (both stream; gen.engine overrides).
+    engine = cfg.gen.engine or (
+        "mega" if cfg.gen.batch_size % 128 == 0 else "turbo"
+    )
+    pool = SessionPool(
+        params, cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
+        engine=engine, chunk_size=chunk,
+        temperature=cfg.gen.temperature,
+    )
+    os.makedirs(cfg.gen.out_dir, exist_ok=True)
+
+    next_req = 0
+    parts: dict = {}
+
+    def fill():
+        nonlocal next_req
+        while next_req < len(requests):
+            rid, n, spk = requests[next_req]
+            if not pool.submit(rid, n, speaker=spk):
+                break
+            parts[rid] = []
+            next_req += 1
+
+    import time as _time
+
+    t0 = _time.perf_counter()
+    fill()
+    n_done = 0
+    while pool.active or next_req < len(requests):
+        for rid, (classes, done) in pool.step().items():
+            parts[rid].append(classes)
+            if done:
+                wav = np.asarray(mu_law_decode(
+                    jax.numpy.asarray(np.concatenate(parts.pop(rid))),
+                    cfg.arch.quant_channels,
+                ))
+                safe = re.sub(r"[^A-Za-z0-9._-]", "_", rid)
+                path = os.path.join(cfg.gen.out_dir, f"{safe}.wav")
+                write_wav(path, wav, cfg.arch.sample_rate)
+                n_done += 1
+                print(json.dumps(
+                    {"done": rid, "n_samples": int(len(wav)), "wav": path}
+                ))
+        fill()
+    wall = _time.perf_counter() - t0
+    total = sum(n for _, n, _ in requests)
+    print(json.dumps({
+        "served": n_done,
+        "audio_sec": round(total / cfg.arch.sample_rate, 2),
+        "wall_s": round(wall, 2),
+        "engine": engine,
+        "batch": cfg.gen.batch_size,
+        "chunk": chunk,
+        "out_dir": cfg.gen.out_dir,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     # This image's sitecustomize force-selects the axon TPU platform
     # programmatically (env JAX_PLATFORMS is overridden); WAVENET_PLATFORM
@@ -579,6 +685,23 @@ def main(argv=None) -> int:
         "info", help="arch/config introspection (geometry, params, roofline)"
     )
     _add_common(p_info)
+    p_serve = sub.add_parser(
+        "serve",
+        help="continuous-batching request server over one streaming batch",
+    )
+    _add_common(p_serve)
+    p_serve.add_argument(
+        "--requests", required=True,
+        help='JSONL of {"id": ..., "n_samples": N[, "speaker": S]} requests',
+    )
+    p_serve.add_argument(
+        "--ema", action="store_true",
+        help="restore the EMA params from the checkpoint",
+    )
+    p_serve.add_argument(
+        "--stream-chunk", default=0, type=int,
+        help="samples emitted per pool step (default 1024)",
+    )
     p_export = sub.add_parser(
         "export", help="export an AOT serving artifact (jax.export)"
     )
@@ -600,6 +723,7 @@ def main(argv=None) -> int:
         "eval": cmd_eval,
         "info": cmd_info,
         "export": cmd_export,
+        "serve": cmd_serve,
     }[args.cmd](args)
 
 

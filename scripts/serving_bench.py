@@ -1,0 +1,139 @@
+"""Serving-policy benchmark: continuous batching vs wave batching.
+
+Replays one seeded trace of variable-length synthesis requests through
+`serving.SessionPool` twice on the real chip:
+
+  * CONTINUOUS — finished lanes are recycled immediately (`reset_lanes`),
+    so the batch stays full until the trace drains;
+  * WAVE — the classic fixed-batch policy: fill all B lanes, run until the
+    LONGEST request of the wave finishes, then load the next wave (no
+    mid-flight recycling — what you get without reset_lanes).
+
+Both policies run the identical per-step program (same engine, batch,
+chunk), so the step-count ratio isolates the scheduling win; wall-clock is
+also reported (absolute numbers on this image are depressed by the
+relay D2H of delivered audio, which both policies pay per step).
+
+    python scripts/serving_bench.py     # BENCH_BATCH/BENCH_CHUNK/BENCH_REQS
+
+Emits one JSON line; numbers land in BASELINE.md.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_trace(params, arch, batch, chunk, lengths, policy,
+              engine, rng_key) -> dict:
+    from lb_wavenet_tpu.serving import SessionPool
+
+    pool = SessionPool(params, arch, batch, rng_key, engine=engine,
+                       chunk_size=chunk, temperature=1.0)
+    queue = [(f"r{i}", int(n)) for i, n in enumerate(lengths)]
+    next_req = 0
+    delivered = 0
+    steps = 0
+
+    def fill():
+        nonlocal next_req
+        while next_req < len(queue):
+            rid, n = queue[next_req]
+            if not pool.submit(rid, n):
+                break
+            next_req += 1
+
+    t0 = time.perf_counter()
+    fill()
+    while pool.active or next_req < len(queue):
+        for rid, (classes, done) in pool.step().items():
+            delivered += len(classes)
+        steps += 1
+        if policy == "continuous":
+            fill()
+        elif policy == "wave" and not pool.active:
+            fill()
+        else:
+            assert policy in ("continuous", "wave")
+    wall = time.perf_counter() - t0
+    assert delivered == sum(lengths)
+    return {
+        "steps": steps,
+        "wall_s": round(wall, 2),
+        "delivered_audio_sec": round(delivered / arch.sample_rate, 1),
+        "audio_sec_per_sec": round(
+            delivered / arch.sample_rate / wall, 1
+        ),
+    }
+
+
+def main() -> int:
+    import jax
+
+    plat = os.environ.get("WAVENET_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bench import _WAVENET30
+    from lb_wavenet_tpu.config import ArchConfig
+    from lb_wavenet_tpu.models.wavenet import init_params
+
+    arch = ArchConfig(**_WAVENET30)
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "1024"))
+    n_reqs = int(os.environ.get("BENCH_REQS", str(4 * batch)))
+    engine = os.environ.get("BENCH_ENGINE", "mega")
+
+    params = jax.device_put(init_params(jax.random.key(0), arch))
+    # Variable-length trace: 0.25-2 s requests (uniform), seeded.
+    rng = np.random.default_rng(42)
+    lengths = rng.integers(4096, 32769, n_reqs)
+
+    # Warm every jitted path (stream_chunk AND reset_lanes) before timing —
+    # relay compiles take minutes and whichever policy runs first would
+    # otherwise absorb them (this confounded the first measurement: 191 s
+    # continuous vs 12 s wave was compile order, not policy cost).
+    t0 = time.perf_counter()
+    run_trace(
+        params, arch, batch, chunk, [chunk] * (batch + 1),
+        "continuous", engine, jax.random.key(9),
+    )
+    compile_s = time.perf_counter() - t0
+
+    results = {}
+    for policy in ("continuous", "wave"):
+        results[policy] = run_trace(
+            params, arch, batch, chunk, lengths, policy,
+            engine, jax.random.key(1),
+        )
+    ratio = results["wave"]["steps"] / results["continuous"]["steps"]
+    print(json.dumps({
+        "metric": "continuous_batching_step_reduction",
+        "value": round(ratio, 3),
+        "unit": "x fewer fixed-shape steps vs wave batching",
+        "vs_baseline": None,
+        "detail": {
+            "batch": batch, "chunk": chunk, "n_requests": n_reqs,
+            "engine": engine, "compile_s": round(compile_s, 1),
+            "lengths": "U(4096, 32768) samples seeded",
+            "continuous": results["continuous"],
+            "wave": results["wave"],
+            "wall_speedup": round(
+                results["wave"]["wall_s"]
+                / max(results["continuous"]["wall_s"], 1e-9), 3,
+            ),
+            "backend": jax.default_backend(),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

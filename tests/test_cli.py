@@ -383,3 +383,67 @@ def test_cli_generate_streaming_mega(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "notice" not in r.stdout  # no fallback: mega really streamed
     assert len(os.listdir(outdir)) == 128
+
+
+def test_cli_serve(tmp_path):
+    """wavenet serve: continuous-batching JSONL request server — variable
+    lengths, more requests than lanes (lane recycling), per-request wavs."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 150 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=2",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8", "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt, outdir = tmp_path / "ck", tmp_path / "out"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    reqs = tmp_path / "requests.jsonl"
+    lengths = {"alpha": 40, "beta": 17, "gamma/../x": 25}  # id sanitized
+    reqs.write_text("".join(
+        json.dumps({"id": rid, "n_samples": n}) + "\n"
+        for rid, n in lengths.items()
+    ))
+    # batch 2 lanes < 3 requests -> the third lands on a recycled lane.
+    r = _run(
+        ["serve", *tiny, "--requests", str(reqs), "--stream-chunk", "8",
+         "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=2",
+         "--set", f'gen.out_dir="{outdir}"'],
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    summary = lines[-1]
+    assert summary["served"] == 3
+    done = {rec["done"]: rec for rec in lines[:-1] if "done" in rec}
+    assert set(done) == set(lengths)
+    import scipy.io.wavfile as wavfile
+
+    assert sorted(os.listdir(outdir)) == ["alpha.wav", "beta.wav",
+                                          "gamma_.._x.wav"]
+    for rid, n in lengths.items():
+        sr, wav = wavfile.read(done[rid]["wav"])
+        assert (sr, len(wav)) == (16000, n)
+
+    # duplicate ids rejected
+    reqs.write_text('{"id": "a", "n_samples": 8}\n{"id": "a", "n_samples": 8}\n')
+    r = _run(["serve", *tiny, "--requests", str(reqs),
+              "--set", f'gen.checkpoint_dir="{ckpt}"',
+              "--set", f'gen.out_dir="{outdir}"'], timeout=300)
+    assert r.returncode != 0 and "duplicate id" in r.stderr
