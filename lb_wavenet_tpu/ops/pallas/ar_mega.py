@@ -107,10 +107,17 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         # Scalar prefetch: [seed_base, t0] (t0 = absolute sample index of
         # this chunk's first step; 0 for one-shot calls).
         (sc_ref,) = refs[:1]
-        (h0_ref, e0_ref, bufs_in, wcat_ref, b_ref, wr_ref, br_ref, ws_ref,
-         bs_ref, w1_ref, b1_ref, w2_ref, b2_ref, emb_ref, wi0_ref, wi1_ref,
-         bi_ref, forced_ref) = refs[1:19]
-        idx = 19
+        # res+skip output weights arrive pre-concatenated along M (C+S, G):
+        # ONE matmul per layer instead of two. Bit-exact vs the split form
+        # (each output row's contraction and the bias-add association are
+        # unchanged) and measured faster at B=1536 (median 311 vs 316 ms
+        # per 8192 steps — every rep of a 6-rep alternating A/B was faster;
+        # neutral at B=512): the layer chain is latency-bound, so removing
+        # 30 per-op issues shows up once compute saturates.
+        (h0_ref, e0_ref, bufs_in, wcat_ref, b_ref, wrs_ref, brs_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref, emb_ref, wi0_ref, wi1_ref,
+         bi_ref, forced_ref) = refs[1:17]
+        idx = 17
         if streaming:
             hst0_ref = refs[idx]
             idx += 1
@@ -227,8 +234,12 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
                 pre = pre + mm(wcond_ref[l], cond_ref[0])
             g = pre.shape[0] // 2
             z = jnp.tanh(pre[:g]) * jax.nn.sigmoid(pre[g:])
-            h = h + mm(wr_ref[l], z) + br_ref[l]
-            contrib = mm(ws_ref[l], z) + bs_ref[l]
+            # Biases stay OUTSIDE the merged matmul and keep the split
+            # form's addition order ((h + mm) + b_res; mm + b_skip) so the
+            # merge is bit-exact vs models/wavenet.py's gated_layer.
+            rs = mm(wrs_ref[l], z)                    # (C+S, B)
+            h = h + rs[:c_dim] + brs_ref[l][:c_dim]
+            contrib = rs[c_dim:] + brs_ref[l][c_dim:]
             skip = contrib if skip is None else skip + contrib
 
         # Final grid step: drain outstanding write DMAs — a pallas_call must
@@ -375,16 +386,24 @@ def mega_generate(
             shape, lambda t, seed: (0,) * len(shape), memory_space=pltpu.VMEM
         )
 
+    # Merged res+skip output weights/biases (see the kernel comment).
+    rs_specs = [
+        whole((L, c + s, gch)),            # [w_res^T ; w_skip^T]
+        whole((L, c + s, 1)),              # [b_res ; b_skip]
+    ]
+    rs_args = [
+        wcast(jnp.concatenate(
+            [tr(lp["w_res"]), tr(lp["w_skip"])], axis=1
+        )),
+        jnp.concatenate([lp["b_res"], lp["b_skip"]], axis=1)[:, :, None],
+    ]
     in_specs = [
         whole((c, b)),                     # h0^T
         whole((c, b)),                     # e0^T
         pl.BlockSpec(memory_space=pl.ANY),  # bufs (manual DMA)
         whole((L, two_g, 2 * c)),          # wcat^T
         whole((L, two_g, 1)),              # b
-        whole((L, c, gch)),                # w_res^T
-        whole((L, c, 1)),                  # b_res
-        whole((L, s, gch)),                # w_skip^T
-        whole((L, s, 1)),                  # b_skip
+        *rs_specs,
         whole((s, s)), whole((s, 1)),      # post w1^T/b1
         whole((q, s)), whole((q, 1)),      # post w2^T/b2
         whole((c, q)),                     # embed^T
@@ -395,8 +414,7 @@ def mega_generate(
     args = [
         h_in, e_in, bufs,
         wcast(wcat), lp["b"][:, :, None],
-        wcast(tr(lp["w_res"])), lp["b_res"][:, :, None],
-        wcast(tr(lp["w_skip"])), lp["b_skip"][:, :, None],
+        *rs_args,
         wcast(tr(pp["w1"])), pp["b1"][:, None],
         wcast(tr(pp["w2"])), pp["b2"][:, None],
         wcast(tr(params["embed"])),
@@ -465,14 +483,15 @@ def mega_generate(
               jax.ShapeDtypeStruct((c, b), jnp.float32),
               jax.ShapeDtypeStruct((c, b), jnp.float32)]
              if streaming else []),
-        # operands: seed(0), h0(1), e0(2), bufs(3), ... -> alias bufs.
-        # Streaming also aliases the carries (hstate operand 19 right after
-        # forced(18); h/e via operands 1/2) to their outputs — zero-copy
-        # chunk transitions.
+        # operands: seed(0), h0(1), e0(2), bufs(3), wcat(4), b(5), wrs(6),
+        # brs(7), post w1/b1/w2/b2 (8-11), embed(12), input conv (13-15),
+        # forced(16) -> alias bufs. Streaming also aliases the carries
+        # (hstate operand 17 right after forced; h/e via operands 1/2) to
+        # their outputs — zero-copy chunk transitions.
         input_output_aliases=(
             {3: 0} if not streaming else {
                 3: 0,
-                19: 2 + (1 if emit_logits else 0),
+                17: 2 + (1 if emit_logits else 0),
                 1: 3 + (1 if emit_logits else 0),
                 2: 4 + (1 if emit_logits else 0),
             }
