@@ -132,3 +132,40 @@ def test_pool_validation():
         pool.submit("r", n_samples=8, cond_fn=lambda t, n: None)
     with pytest.raises(ValueError, match="positive"):
         pool.submit("r", n_samples=0)
+
+
+def test_pool_randomized_soak_matches_dedicated():
+    """Property test: random lengths and arrival order through a 3-lane
+    pool (xla engine, greedy) — EVERY request, wherever and whenever its
+    lane was leased, matches a dedicated session bit-exactly."""
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, n_speakers=3,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    rng = np.random.default_rng(9)
+    reqs = [
+        (f"r{i}", int(rng.integers(1, 4 * CHUNK)), int(rng.integers(0, 3)))
+        for i in range(10)
+    ]
+
+    pool = SessionPool(params, arch, batch=3, rng=jax.random.key(1),
+                       engine="xla", chunk_size=CHUNK, temperature=0.0)
+    got = {}
+    queue = list(reqs)
+    for _ in range(300):
+        while queue and pool.submit(queue[0][0], queue[0][1],
+                                    speaker=queue[0][2]):
+            queue.pop(0)
+        if not pool.active:
+            break
+        for rid, (classes, done) in pool.step().items():
+            got.setdefault(rid, []).append(classes)
+    assert not queue and not pool.active
+
+    for rid, n, spk in reqs:
+        seq = np.concatenate(got[rid])
+        assert len(seq) == n
+        ref = _dedicated(params, arch, n, speaker=spk)
+        np.testing.assert_array_equal(seq, ref, err_msg=f"{rid} n={n} spk={spk}")
