@@ -15,6 +15,9 @@ An artifact directory contains:
                   temperature, with_cond, platforms, jax version)
   init.jaxexport  (params, seed:int32) -> state        [exported]
   step.jaxexport  (params, state[, cond]) -> (classes, state)   [exported]
+  reset.jaxexport (params, state, lane_mask:bool[B]) -> state   [exported]
+                  (continuous batching: recycle finished lanes in place —
+                  generate.reset_lanes behind the export boundary)
 
 `state` crosses the boundary as a plain dict of arrays (PRNG keys carried
 as raw uint32 key data) so serialization needs no custom pytree
@@ -35,10 +38,11 @@ from jax import export as jexport
 
 from ..config import ArchConfig
 
-ARTIFACT_VERSION = 1
+ARTIFACT_VERSION = 2
 _MANIFEST = "manifest.json"
 _INIT = "init.jaxexport"
 _STEP = "step.jaxexport"
+_RESET = "reset.jaxexport"
 
 # Pallas TPU kernels lower to the Mosaic custom call, which jax.export does
 # not list as guaranteed-stable; artifacts embedding it are tied to a
@@ -85,7 +89,7 @@ def _flat_to_stream(flat: dict, engine: str):
 
 def _make_fns(arch: ArchConfig, batch: int, chunk_size: int, engine: str,
               temperature: float, with_cond: bool):
-    from ..generate import start_stream, stream_chunk
+    from ..generate import reset_lanes, start_stream, stream_chunk
 
     def init_fn(params, seed):
         stream = start_stream(
@@ -102,7 +106,12 @@ def _make_fns(arch: ArchConfig, batch: int, chunk_size: int, engine: str,
         )
         return classes, _stream_to_flat(new_stream, engine)
 
-    return init_fn, step_fn
+    def reset_fn(params, state, lane_mask):
+        stream = _flat_to_stream(state, engine)
+        new = reset_lanes(params, arch, stream, lane_mask, engine=engine)
+        return _stream_to_flat(new, engine)
+
+    return init_fn, step_fn, reset_fn
 
 
 def export_serving(
@@ -120,7 +129,7 @@ def export_serving(
     into the artifact."""
     if engine not in ("xla", "pallas", "mega"):
         raise ValueError(f"exportable engines: xla|pallas|mega, got {engine}")
-    init_fn, step_fn = _make_fns(
+    init_fn, step_fn, reset_fn = _make_fns(
         arch, batch, chunk_size, engine, temperature, with_cond
     )
     p_spec = jax.tree.map(
@@ -147,9 +156,14 @@ def export_serving(
     exp_step = jexport.export(jax.jit(step_fn), disabled_checks=checks)(
         *step_args
     )
+    mask_spec = jax.ShapeDtypeStruct((batch,), jnp.bool_)
+    exp_reset = jexport.export(jax.jit(reset_fn), disabled_checks=checks)(
+        p_spec, state_spec, mask_spec
+    )
 
     init_bytes = exp_init.serialize()
     step_bytes = exp_step.serialize()
+    reset_bytes = exp_reset.serialize()
     manifest = {
         "artifact_version": ARTIFACT_VERSION,
         "arch": dataclasses.asdict(arch),
@@ -167,10 +181,13 @@ def export_serving(
         "sha256": {
             _INIT: hashlib.sha256(init_bytes).hexdigest(),
             _STEP: hashlib.sha256(step_bytes).hexdigest(),
+            _RESET: hashlib.sha256(reset_bytes).hexdigest(),
         },
     }
     os.makedirs(out_dir, exist_ok=True)
-    for name, data in ((_INIT, init_bytes), (_STEP, step_bytes)):
+    for name, data in (
+        (_INIT, init_bytes), (_STEP, step_bytes), (_RESET, reset_bytes)
+    ):
         tmp = os.path.join(out_dir, name + ".tmp")
         with open(tmp, "wb") as f:
             f.write(data)
@@ -189,13 +206,14 @@ class ServingArtifact:
     streaming session of the same engine (same kernels, same RNG chain).
     """
 
-    def __init__(self, manifest: dict, exp_init, exp_step):
+    def __init__(self, manifest: dict, exp_init, exp_step, exp_reset):
         from ..config import _from_dict
 
         self.manifest = manifest
         self.arch = _from_dict(ArchConfig, manifest["arch"])
         self._init = jax.jit(exp_init.call)
         self._step = jax.jit(exp_step.call)
+        self._reset = jax.jit(exp_reset.call)
 
     def init(self, params, seed: int):
         return self._init(params, jnp.int32(seed))
@@ -210,6 +228,14 @@ class ServingArtifact:
             raise ValueError("artifact was exported without cond")
         return self._step(params, state)
 
+    def reset(self, params, state, lane_mask):
+        """Continuous batching behind the export boundary: reset the
+        masked lanes to a fresh t=0 session (generate.reset_lanes
+        semantics — recycled lane == fresh session, bit-exact)."""
+        return self._reset(
+            params, state, jnp.asarray(lane_mask, jnp.bool_)
+        )
+
 
 def load_serving(path: str) -> ServingArtifact:
     with open(os.path.join(path, _MANIFEST)) as f:
@@ -220,7 +246,7 @@ def load_serving(path: str) -> ServingArtifact:
             f"{ARTIFACT_VERSION}"
         )
     blobs = {}
-    for name in (_INIT, _STEP):
+    for name in (_INIT, _STEP, _RESET):
         with open(os.path.join(path, name), "rb") as f:
             blobs[name] = f.read()
         got = hashlib.sha256(blobs[name]).hexdigest()
@@ -235,4 +261,5 @@ def load_serving(path: str) -> ServingArtifact:
         manifest,
         jexport.deserialize(blobs[_INIT]),
         jexport.deserialize(blobs[_STEP]),
+        jexport.deserialize(blobs[_RESET]),
     )

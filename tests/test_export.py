@@ -137,3 +137,39 @@ def test_export_manifest_and_errors(tmp_path):
         json.dump(m, f)
     with pytest.raises(ValueError, match="version"):
         load_serving(out_dir)
+
+
+@pytest.mark.parametrize("engine", ["xla", "mega"])
+def test_export_reset_lanes_bitmatch(tmp_path, engine):
+    """Artifact `reset` == in-process reset_lanes: recycle lane 1 mid-
+    session; its post-reset greedy output equals a fresh artifact session
+    (and the kept lane is untouched)."""
+    import jax.numpy as jnp
+
+    batch, chunk = 2, 16
+    params = init_params(jax.random.key(0), ARCH)
+    out_dir = str(tmp_path / f"art_reset_{engine}")
+    export_serving(
+        params, ARCH, batch, chunk, out_dir, engine=engine, temperature=0.0
+    )
+    art = load_serving(out_dir)
+
+    def run(n_chunks, reset_after=None):
+        state = art.init(params, seed=7)
+        outs = []
+        for i in range(n_chunks):
+            classes, state = art.step(params, state)
+            outs.append(np.asarray(classes))
+            if reset_after is not None and i == reset_after:
+                state = art.reset(params, state, np.array([False, True]))
+        return np.concatenate(outs, axis=1)
+
+    out = run(4, reset_after=1)
+    control = run(4)
+    fresh = run(2)
+    post = out[:, 2 * chunk:]
+    np.testing.assert_array_equal(post[1], fresh[1])          # recycled
+    np.testing.assert_array_equal(post[0], control[:, 2 * chunk:][0])  # kept
+    # Non-vacuous: an uninterrupted lane's chunks 2-3 differ from a fresh
+    # session's chunks 0-1, so the reset really erased the history.
+    assert not np.array_equal(control[:, 2 * chunk:][1], fresh[1])
