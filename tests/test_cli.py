@@ -100,7 +100,8 @@ def test_cli_export(tmp_path):
     )
     assert rec["batch"] == 2 and rec["chunk_size"] == 16
     assert sorted(os.listdir(out)) == [
-        "init.jaxexport", "manifest.json", "step.jaxexport",
+        "init.jaxexport", "manifest.json", "reset.jaxexport",
+        "step.jaxexport",
     ]
 
 
