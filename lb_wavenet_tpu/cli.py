@@ -536,6 +536,7 @@ def cmd_serve(args) -> int:
 
     requests = []
     seen = set()
+    seen_safe: dict = {}
     with open(args.requests) as f:
         for ln, line in enumerate(f, 1):
             line = line.strip()
@@ -549,6 +550,17 @@ def cmd_serve(args) -> int:
             if rid in seen:
                 raise SystemExit(f"{args.requests}:{ln}: duplicate id {rid!r}")
             seen.add(rid)
+            # Output paths are built from the SANITIZED id, so distinct raw
+            # ids that sanitize identically (e.g. "a/b" vs "a_b") would
+            # silently overwrite each other's wav — reject those too.
+            safe = re.sub(r"[^A-Za-z0-9._-]", "_", rid)
+            if safe in seen_safe:
+                raise SystemExit(
+                    f"{args.requests}:{ln}: id {rid!r} collides with "
+                    f"{seen_safe[safe]!r} after filename sanitization "
+                    f"({safe}.wav)"
+                )
+            seen_safe[safe] = rid
             requests.append((rid, n, r.get("speaker")))
     if not requests:
         raise SystemExit(f"{args.requests}: no requests")

@@ -146,15 +146,18 @@ class SessionPool:
             slab = np.zeros((self.batch, self.chunk_size, cc), np.float32)
             for i, lease in enumerate(self._lanes):
                 if lease is not None:
-                    span = np.asarray(
-                        lease.cond_fn(lease.t_local, self.chunk_size)
-                    )
-                    if span.shape != (self.chunk_size, cc):
+                    # Only ask cond_fn for the frames the request will
+                    # actually consume; the tail of a final partial chunk
+                    # is zero-padded here, so a cond_fn covering exactly
+                    # n_samples frames never over-reads.
+                    n_need = min(self.chunk_size, lease.remaining)
+                    span = np.asarray(lease.cond_fn(lease.t_local, n_need))
+                    if span.shape != (n_need, cc):
                         raise ValueError(
                             f"cond_fn returned {span.shape}, expected "
-                            f"({self.chunk_size}, {cc})"
+                            f"({n_need}, {cc})"
                         )
-                    slab[i] = span
+                    slab[i, :n_need] = span
             cond = jnp.asarray(slab, jnp.dtype(self.arch.compute_dtype))
 
         classes, self.stream = stream_chunk(
@@ -177,4 +180,9 @@ class SessionPool:
             if done:
                 self._lanes[i] = None
                 self._pending_reset[i] = True
+        # Every lane (leased or idle) just advanced chunk_size steps of
+        # free-running state, so no lane is "fresh t=0" any more: a first
+        # lease landing on a never-used lane after this point MUST reset it
+        # or it would inherit free-run ring history (silently corrupt audio).
+        self._fresh[:] = False
         return out

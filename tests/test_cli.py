@@ -448,3 +448,11 @@ def test_cli_serve(tmp_path):
               "--set", f'gen.checkpoint_dir="{ckpt}"',
               "--set", f'gen.out_dir="{outdir}"'], timeout=300)
     assert r.returncode != 0 and "duplicate id" in r.stderr
+
+    # distinct raw ids that sanitize to the same wav filename rejected
+    # (would silently overwrite each other's output otherwise)
+    reqs.write_text('{"id": "a/b", "n_samples": 8}\n{"id": "a_b", "n_samples": 8}\n')
+    r = _run(["serve", *tiny, "--requests", str(reqs),
+              "--set", f'gen.checkpoint_dir="{ckpt}"',
+              "--set", f'gen.out_dir="{outdir}"'], timeout=300)
+    assert r.returncode != 0 and "sanitization" in r.stderr

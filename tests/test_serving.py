@@ -118,6 +118,62 @@ def test_pool_mel_conditioned_matches_dedicated():
         np.testing.assert_array_equal(got[rid], ref, err_msg=rid)
 
 
+def test_first_lease_on_idle_lane_after_pool_has_stepped():
+    """Regression (ADVICE r1, high): a lane NEVER leased before still
+    free-runs when the pool steps, so its first lease after any step()
+    must reset it — otherwise the request inherits free-run ring history
+    and produces silently corrupted audio."""
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, n_speakers=3,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    pool = SessionPool(params, arch, batch=2, rng=jax.random.key(1),
+                       engine="xla", chunk_size=CHUNK, temperature=0.0)
+    # Lane 0 leased; lane 1 stays idle while the pool steps 3 chunks.
+    assert pool.submit("a", n_samples=3 * CHUNK, speaker=1)
+    acc, _ = _drain(pool, ["a"])
+    # First-ever lease of lane 1, arriving after the pool has stepped.
+    assert pool.submit("late", n_samples=2 * CHUNK, speaker=2)
+    _, fin = _drain(pool, ["late"], got=acc)
+    ref = _dedicated(params, arch, 2 * CHUNK, speaker=2)
+    np.testing.assert_array_equal(fin["late"], ref)
+
+
+def test_cond_fn_covering_exactly_n_samples_frames():
+    """Regression (ADVICE r1, low): a request whose final chunk is partial
+    must not ask cond_fn for frames past n_samples — a cond stream covering
+    exactly n_samples frames has to work."""
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, n_mels=8, cond_channels=16,
+        upsample_factors=(2, 2), compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    n = CHUNK + 3  # final chunk is partial
+    cond_full = np.asarray(
+        jax.random.normal(jax.random.key(5), (n, arch.cond_channels)),
+        np.float32,
+    )
+
+    def exact_cond(t0, m):
+        # Slices past n return short arrays -> shape error pre-fix.
+        assert t0 + m <= n, f"cond over-read: [{t0}, {t0 + m})"
+        return cond_full[t0 : t0 + m]
+
+    pool = SessionPool(params, arch, batch=1, rng=jax.random.key(1),
+                       engine="xla", chunk_size=CHUNK, temperature=0.0)
+    assert pool.submit("x", n_samples=n, cond_fn=exact_cond)
+    _, got = _drain(pool, ["x"])
+    # Zero-padded tail cond must match the dedicated session's zero-padded
+    # tail too (the request consumes only n samples either way).
+    padded = np.zeros((2 * CHUNK, arch.cond_channels), np.float32)
+    padded[:n] = cond_full
+    ref = _dedicated(params, arch, n, cond_full=jnp.asarray(padded))
+    np.testing.assert_array_equal(got["x"], ref)
+
+
 def test_pool_validation():
     arch = ArchConfig(
         n_blocks=2, n_layers_per_block=3, residual_channels=16,
