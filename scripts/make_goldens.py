@@ -1,0 +1,77 @@
+"""Regenerate tests/goldens/oracle_goldens.npz from the INDEPENDENT oracle.
+
+Every class sequence in the golden file is produced by the paper-exact
+NumPy FIFO-queue sampler (tests/fast_wavenet_oracle.py), NOT by the
+framework's engines — test_golden.py then asserts framework ≡ oracle, so
+the pin is against an external re-derivation of Fast WaveNet, not against
+the framework itself (VERDICT r1 item 4; SURVEY.md §4 "North-star parity").
+
+Run on CPU: python scripts/make_goldens.py
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from lb_wavenet_tpu.models.conditioning import upsample_cond  # noqa: E402
+from lb_wavenet_tpu.models.wavenet import init_params  # noqa: E402
+from tests.fast_wavenet_oracle import fifo_generate  # noqa: E402
+from tests.test_golden import COND_ARCH, TINY, primed_forced  # noqa: E402
+
+OUT = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "goldens", "oracle_goldens.npz"
+)
+
+
+def main():
+    arrays = {}
+    params = init_params(jax.random.key(0), TINY)
+
+    # Free-running sampled sequences: 3 seeds x 512 samples x 2 lanes.
+    for seed in (42, 7, 123):
+        arrays[f"tiny_seed{seed}"] = fifo_generate(
+            params, TINY, jax.random.key(seed), 2, 512, temperature=1.0
+        )
+        print(f"tiny_seed{seed}: {arrays[f'tiny_seed{seed}'].shape}")
+
+    # Mel + speaker conditioned, 256 samples.
+    cparams = init_params(jax.random.key(0), COND_ARCH)
+    frames = jax.random.normal(jax.random.key(1), (2, 64, COND_ARCH.n_mels))
+    cond = np.asarray(
+        upsample_cond(cparams["upsampler"], COND_ARCH, frames, jnp.float32)
+    )
+    arrays["cond_seed7"] = fifo_generate(
+        cparams, COND_ARCH, jax.random.key(7), 2, 256,
+        cond=cond, speaker_ids=np.asarray([1, 3]),
+    )
+    print(f"cond_seed7: {arrays['cond_seed7'].shape}")
+
+    # Primed runs (the reference's primed-queue mode): 64 forced samples of
+    # a mu-law-encoded sinusoid, then free-running — greedy AND sampled.
+    forced = primed_forced()
+    arrays["primed_forced"] = forced
+    arrays["primed_greedy"] = fifo_generate(
+        params, TINY, jax.random.key(0), 2, 256, forced=forced,
+        temperature=0.0,
+    )
+    arrays["primed_seed9"] = fifo_generate(
+        params, TINY, jax.random.key(9), 2, 256, forced=forced,
+        temperature=1.0,
+    )
+    print(f"primed: greedy {arrays['primed_greedy'].shape}")
+
+    np.savez(OUT, **arrays)
+    print(f"wrote {os.path.normpath(OUT)}")
+
+
+if __name__ == "__main__":
+    main()

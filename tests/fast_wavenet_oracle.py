@@ -1,0 +1,130 @@
+"""Independent Fast-WaveNet FIFO-queue oracle (pure-NumPy model math).
+
+Implements the incremental generation algorithm of "Fast Wavenet Generation
+Algorithm" (arXiv 1611.09482, PAPERS.md) exactly as the paper states it:
+per layer a FIFO queue of length = dilation holding that layer's past input
+activations; per emitted sample, POP the dilated operand from each queue,
+run the gated residual unit, PUSH the layer's new input activation. This is
+a genuinely different data structure and execution model from
+lb_wavenet_tpu.generate (packed HBM ring buffers carried through one
+lax.scan / Pallas kernels) and shares NO code with it — it exists to pin
+the framework against an external re-derivation of the algorithm, not
+against itself (SURVEY.md §4 "North-star parity").
+
+All model math is NumPy float32. Only the per-sample categorical draw goes
+through jax.random, because the parity contract includes *consuming
+randomness identically* to the xla engine (split the chain once per step,
+categorical(key, logits / temperature)); mu-law class parity is at the
+8-bit class level, which absorbs the float noise between NumPy and XLA
+matmul orderings (SURVEY.md §7 "Hard parts").
+"""
+from __future__ import annotations
+
+import collections
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+# Tiny jitted helpers so the per-step RNG ops don't pay eager dispatch.
+_split2 = jax.jit(lambda k: jax.random.split(k))
+_categorical = jax.jit(jax.random.categorical)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _np_params(params) -> dict:
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), params
+    )
+
+
+def fifo_generate(
+    params,
+    arch,
+    rng: jax.Array,
+    batch: int,
+    n_samples: int,
+    cond: Optional[np.ndarray] = None,        # (B, T>=n, Cc) pre-upsampled
+    speaker_ids: Optional[np.ndarray] = None,  # (B,) int
+    forced: Optional[np.ndarray] = None,       # (B, T) int, -1 = free-run
+    temperature: float = 1.0,
+) -> np.ndarray:
+    """Paper-exact FIFO-queue incremental sampler. Returns classes (B, T).
+
+    Matches lb_wavenet_tpu.generate.generate_classes(engine="xla") class
+    sequences seed-for-seed on fp32 archs (tests/test_golden.py).
+    """
+    p = _np_params(params)
+    lp = p["layers"]
+    g = lp["w_cur"].shape[-1] // 2
+    c = arch.residual_channels
+    k = arch.input_kernel
+
+    # The paper's per-layer FIFO queues ("convolution queues"), preloaded
+    # with zeros: a pop at t < d yields the zero pre-sequence context.
+    queues = [
+        collections.deque(
+            [np.zeros((batch, c), np.float32) for _ in range(d)], maxlen=d
+        )
+        for d in arch.dilations
+    ]
+    # Input-conv queue: the K-1 past embeddings (zeros before t = 0).
+    equeue = collections.deque(
+        [np.zeros((batch, c), np.float32) for _ in range(k - 1)],
+        maxlen=k - 1 if k > 1 else 1,
+    )
+
+    gcond = None
+    if speaker_ids is not None:
+        gcond = p["speaker_embed"][np.asarray(speaker_ids)]
+
+    prev = np.full((batch,), arch.quant_channels // 2, np.int64)
+    out = np.zeros((batch, n_samples), np.int32)
+    for t in range(n_samples):
+        e = p["embed"][prev]
+        # Width-K causal input conv: tap j applies to e(t - (K-1-j)); the
+        # queue's left end is the oldest embedding.
+        h = p["input_conv"]["b"] + e @ p["input_conv"]["w"][k - 1]
+        for j in range(k - 1):
+            h = h + equeue[j] @ p["input_conv"]["w"][j]
+        if k > 1:
+            equeue.append(e.copy())  # maxlen pops the oldest
+
+        skip = np.zeros((batch, arch.skip_channels), np.float32)
+        for i in range(len(arch.dilations)):
+            h_prev = queues[i].popleft()   # h_i(t - d_i): the paper's pop
+            queues[i].append(h.copy())     # push h_i(t)
+            pre = h @ lp["w_cur"][i] + h_prev @ lp["w_prev"][i] + lp["b"][i]
+            if cond is not None:
+                pre = pre + np.asarray(cond[:, t], np.float32) @ lp["w_cond"][i]
+            if gcond is not None:
+                pre = pre + gcond @ lp["w_gcond"][i]
+            z = np.tanh(pre[:, :g]) * _sigmoid(pre[:, g:])
+            h = h + z @ lp["w_res"][i] + lp["b_res"][i]
+            skip = skip + z @ lp["w_skip"][i] + lp["b_skip"][i]
+
+        s = np.maximum(skip, 0.0)
+        s = np.maximum(s @ p["post"]["w1"] + p["post"]["b1"], 0.0)
+        logits = s @ p["post"]["w2"] + p["post"]["b2"]
+
+        # Identical randomness consumption to the xla engine: one split per
+        # step (even on forced steps), categorical on logits / temperature.
+        keys = _split2(rng)
+        rng = keys[0]
+        if temperature == 0.0:
+            cls = np.argmax(logits, axis=-1).astype(np.int32)
+        else:
+            cls = np.asarray(
+                _categorical(keys[1], logits / np.float32(temperature)),
+                np.int32,
+            )
+        if forced is not None:
+            f = np.asarray(forced)[:, t].astype(np.int32)
+            cls = np.where(f >= 0, f, cls)
+        out[:, t] = cls
+        prev = cls.astype(np.int64)
+    return out

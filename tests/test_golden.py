@@ -1,23 +1,40 @@
-"""North-star parity tier (SURVEY.md §4): fixed-seed golden sample sequences.
+"""North-star parity tier (SURVEY.md §4): framework ≡ INDEPENDENT oracle.
 
-The reference mount is empty (SURVEY.md §0), so the goldens pin THIS
-framework's deterministic sampling chain (init seed 0, sample seed 42, tiny
-BASELINE config 1) against regressions; when the reference becomes available
-they are to be regenerated against it for true cross-implementation
-bit-matching. Any change to mu-law constants, init, RNG consumption, or
-engine semantics trips this test.
+The reference mount is empty (SURVEY.md §0), so true cross-implementation
+bit-matching is impossible; the next-best external check is a paper-exact
+re-derivation: tests/fast_wavenet_oracle.py implements the Fast-WaveNet
+FIFO-queue incremental sampler (arXiv 1611.09482) in pure NumPy, sharing no
+code with the framework's ring-buffer/Pallas engines. The goldens in
+tests/goldens/oracle_goldens.npz are generated FROM THE ORACLE
+(scripts/make_goldens.py); the tests assert the framework's engines
+reproduce them bit-for-bit — 512-sample sequences, 3 seeds, plus
+conditioned and primed (greedy + sampled) cases. Any change to mu-law
+constants, init, RNG consumption, or engine semantics trips this tier.
+
+When the reference mount is fixed, regenerate the goldens against the real
+reference instead (same file layout) and re-run.
 """
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from lb_wavenet_tpu.config import ArchConfig
 from lb_wavenet_tpu.generate import generate_classes
 from lb_wavenet_tpu.models.wavenet import init_params
+from lb_wavenet_tpu.ops.mulaw import mu_law_encode
 
-GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "tiny_seed42.npz")
+from .fast_wavenet_oracle import fifo_generate
 
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "goldens", "oracle_goldens.npz"
+)
+LEGACY_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "goldens", "conditioned_seed7.npz"
+)
+
+# BASELINE.json config 1 (tiny 2x5x32) — the parity substrate.
 TINY = ArchConfig(
     n_blocks=2,
     n_layers_per_block=5,
@@ -25,20 +42,6 @@ TINY = ArchConfig(
     skip_channels=32,
     gate_channels=32,
     compute_dtype="float32",
-)
-
-
-def test_fixed_seed_sample_sequence_bit_matches_golden():
-    params = init_params(jax.random.key(0), TINY)
-    cls = generate_classes(
-        params, TINY, jax.random.key(42), 2, 64, temperature=1.0
-    )
-    want = np.load(GOLDEN)["classes"]
-    np.testing.assert_array_equal(np.asarray(cls), want)
-
-
-COND_GOLDEN = os.path.join(
-    os.path.dirname(__file__), "goldens", "conditioned_seed7.npz"
 )
 
 COND_ARCH = ArchConfig(
@@ -56,22 +59,105 @@ COND_ARCH = ArchConfig(
 )
 
 
-def test_conditioned_sample_sequence_bit_matches_golden():
-    """Pins the mel+speaker-conditioned chain: upsampler, per-gate
-    injection, speaker embedding, and RNG consumption."""
-    import jax.numpy as jnp
+def primed_forced() -> np.ndarray:
+    """(2, 256) priming plan: 64 forced samples of mu-law-encoded sinusoids
+    (220 / 330 Hz at 16 kHz, amplitude 0.5), then -1 (free-running)."""
+    t = np.arange(64) / 16000.0
+    wav = 0.5 * np.sin(2 * np.pi * np.asarray([[220.0], [330.0]]) * t[None])
+    prime = np.asarray(mu_law_encode(jnp.asarray(wav)), np.int32)
+    return np.concatenate(
+        [prime, np.full((2, 192), -1, np.int32)], axis=1
+    )
 
+
+def _golden(name: str) -> np.ndarray:
+    return np.load(GOLDEN)[name]
+
+
+def test_free_running_sampled_matches_live_oracle():
+    """xla engine ≡ the FIFO-queue oracle, run live, seed-for-seed."""
+    params = init_params(jax.random.key(0), TINY)
+    want = fifo_generate(
+        params, TINY, jax.random.key(42), 2, 512, temperature=1.0
+    )
+    got = generate_classes(
+        params, TINY, jax.random.key(42), 2, 512, temperature=1.0
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_free_running_golden_pins_three_seeds():
+    """xla engine ≡ oracle-generated goldens: 512 samples x 3 seeds; the
+    pallas engine (bit-matches xla incl. the RNG stream) on one seed."""
+    params = init_params(jax.random.key(0), TINY)
+    for seed in (42, 7, 123):
+        got = generate_classes(
+            params, TINY, jax.random.key(seed), 2, 512, temperature=1.0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), _golden(f"tiny_seed{seed}"),
+            err_msg=f"seed={seed}",
+        )
+    got = generate_classes(
+        params, TINY, jax.random.key(42), 2, 512, temperature=1.0,
+        engine="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(got), _golden("tiny_seed42"))
+
+
+def test_conditioned_sequence_matches_oracle_golden():
+    """Mel + speaker conditioned chain (upsampler, per-gate injection,
+    speaker embedding, RNG consumption) ≡ oracle, live and pinned."""
     from lb_wavenet_tpu.models.conditioning import upsample_cond
 
     params = init_params(jax.random.key(0), COND_ARCH)
-    frames = jax.random.normal(jax.random.key(1), (2, 10, 8))
+    frames = jax.random.normal(jax.random.key(1), (2, 64, COND_ARCH.n_mels))
     cond = upsample_cond(params["upsampler"], COND_ARCH, frames, jnp.float32)
-    cls = generate_classes(
-        params, COND_ARCH, jax.random.key(7), 2, 40,
-        cond=cond, speaker_ids=jnp.asarray([1, 3]),
+    spk = jnp.asarray([1, 3])
+    want = fifo_generate(
+        params, COND_ARCH, jax.random.key(7), 2, 256,
+        cond=np.asarray(cond), speaker_ids=np.asarray([1, 3]),
     )
-    want = np.load(COND_GOLDEN)["classes"]
-    np.testing.assert_array_equal(np.asarray(cls), want)
+    np.testing.assert_array_equal(want, _golden("cond_seed7"))
+    got = generate_classes(
+        params, COND_ARCH, jax.random.key(7), 2, 256,
+        cond=cond, speaker_ids=spk,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_primed_greedy_all_four_engines_match_oracle_golden():
+    """The reference's primed-queue mode, greedy: every engine (xla,
+    pallas, turbo, mega) reproduces the oracle's sequence bit-for-bit —
+    the deterministic tier where even the TPU-PRNG engines must agree."""
+    params = init_params(jax.random.key(0), TINY)
+    forced = primed_forced()
+    np.testing.assert_array_equal(forced, _golden("primed_forced"))
+    want = _golden("primed_greedy")
+    for engine in ("xla", "pallas", "turbo", "mega"):
+        got = generate_classes(
+            params, TINY, jax.random.key(0), 2, 256,
+            forced=jnp.asarray(forced), temperature=0.0, engine=engine,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), want, err_msg=f"engine={engine}"
+        )
+
+
+def test_primed_sampled_matches_oracle_golden():
+    """Primed then free-running SAMPLED: the RNG chain must keep splitting
+    during the forced prefix exactly like the oracle does."""
+    params = init_params(jax.random.key(0), TINY)
+    forced = jnp.asarray(primed_forced())
+    want = _golden("primed_seed9")
+    for engine in ("xla", "pallas"):
+        got = generate_classes(
+            params, TINY, jax.random.key(9), 2, 256,
+            forced=forced, temperature=1.0, engine=engine,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got), want, err_msg=f"engine={engine}"
+        )
 
 
 def test_training_trajectory_matches_golden(tmp_path):
@@ -104,5 +190,5 @@ def test_training_trajectory_matches_golden(tmp_path):
         tm.run_training(cfg, corpus=corpus)
     finally:
         tm.MetricsLogger.log = orig
-    want = np.load(COND_GOLDEN)["train_losses"]
+    want = np.load(LEGACY_GOLDEN)["train_losses"]
     np.testing.assert_allclose(np.asarray(losses), want, rtol=1e-6)
