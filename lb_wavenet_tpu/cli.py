@@ -209,6 +209,97 @@ def _generate_from_artifact(args, cfg, params, cond_frames) -> int:
     return 0
 
 
+def _generate_mesh(args, cfg, params, cond_frames, forced, speaker_ids) -> int:
+    """Distributed synthesis over a ('data','model') mesh: multi-process /
+    multi-device runs shard the GLOBAL gen.batch_size over the data axis
+    (each chip synthesizes only its lanes — no replicated duplicate work),
+    and --mesh-model > 1 shards the model channels over the model axis
+    (GSPMD collectives inside the sample loop). Every process writes the
+    wavs for its own addressable lanes."""
+    import jax
+    import numpy as np
+
+    from .data import write_wav
+    from .generate import mu_law_decode
+    from .parallel.mesh import make_mesh
+    from .parallel.synthesis import FUSED_ENGINES, mesh_generate_classes
+
+    n_dev = jax.device_count()
+    mm = args.mesh_model
+    if mm < 1 or n_dev % mm:
+        raise SystemExit(f"--mesh-model {mm} must divide {n_dev} devices")
+    n_data = n_dev // mm
+    mesh = make_mesh(n_data, mm)
+    batch = cfg.gen.batch_size  # GLOBAL utterance count
+    if batch % n_data:
+        raise SystemExit(
+            f"gen.batch_size {batch} must divide by the data axis {n_data}"
+        )
+    shard_b = batch // n_data
+    engine = cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "")
+    if mm > 1:
+        if engine in FUSED_ENGINES:
+            if jax.process_index() == 0:
+                print(json.dumps({
+                    "notice": f"engine {engine!r} is single-chip; model "
+                              "sharding uses 'xla'",
+                }), flush=True)
+        engine = "xla"
+    elif not engine:
+        engine = "mega" if shard_b % 128 == 0 else "turbo"
+
+    cond = None
+    if cond_frames is not None:
+        from .models.conditioning import upsample_cond
+
+        # Upsampled once at the GLOBAL batch (host-replicated mel input);
+        # very large fleets should stream per-host mel instead.
+        cond = upsample_cond(
+            params["upsampler"], cfg.arch, jax.numpy.asarray(cond_frames),
+            jax.numpy.dtype(cfg.arch.compute_dtype),
+        )
+    classes = mesh_generate_classes(
+        params,
+        cfg.arch,
+        jax.random.key(cfg.gen.seed),
+        batch,
+        cfg.gen.n_samples,
+        mesh,
+        engine=engine,
+        cond=cond,
+        speaker_ids=speaker_ids,
+        forced=forced,
+        temperature=cfg.gen.temperature,
+    )
+
+    os.makedirs(cfg.gen.out_dir, exist_ok=True)
+    written = set()
+    for shard in classes.addressable_shards:
+        start = shard.index[0].start or 0
+        if start in written:  # model-axis replicas carry the same rows
+            continue
+        written.add(start)
+        rows = np.asarray(mu_law_decode(
+            jax.numpy.asarray(shard.data), cfg.arch.quant_channels
+        ))
+        for i in range(rows.shape[0]):
+            write_wav(
+                os.path.join(cfg.gen.out_dir, f"gen_{start + i:04d}.wav"),
+                rows[i],
+                cfg.arch.sample_rate,
+            )
+    print(json.dumps({
+        "process": jax.process_index(),
+        "generated_local": len(written) * shard_b,
+        "lanes": sorted(written),
+        "mesh": {"data": n_data, "model": mm},
+        "engine": engine,
+        "n_samples": int(cfg.gen.n_samples),
+        "out_dir": cfg.gen.out_dir,
+    }), flush=True)
+    return 0
+
+
 def cmd_generate(args) -> int:
     cfg = _load_config(args)
     _maybe_init_distributed(args)
@@ -266,6 +357,21 @@ def cmd_generate(args) -> int:
                 f"--speakers needs 1 or {cfg.gen.batch_size} ids, got {len(ids)}"
             )
         speaker_ids = np.asarray(ids, np.int32)
+
+    distributed = (
+        jax.process_count() > 1 or args.mesh_model > 1 or args.fleet
+    )
+    if distributed:
+        if args.stream_chunk:
+            raise SystemExit(
+                "--stream-chunk sessions are single-chip; drop it for "
+                "mesh synthesis (or run one streaming process per chip)"
+            )
+        return _generate_mesh(
+            args, cfg, params, cond_frames,
+            forced,
+            speaker_ids,
+        )
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -671,6 +777,23 @@ def main(argv=None) -> int:
         default="",
         help="comma-separated speaker ids (global conditioning), one per "
         "batch lane or a single id broadcast",
+    )
+    p_gen.add_argument(
+        "--fleet",
+        action="store_true",
+        help="shard gen.batch_size over ALL local devices (the data axis); "
+        "implied when --num-processes > 1 — multi-process generate shards "
+        "the batch instead of duplicating it, each process writing its own "
+        "lanes' wavs",
+    )
+    p_gen.add_argument(
+        "--mesh-model",
+        type=int,
+        default=1,
+        metavar="N",
+        help="shard the model channels over an N-way model mesh axis "
+        "(GSPMD, xla engine) for models larger than one chip; composes "
+        "with the data-axis batch shard",
     )
     p_gen.add_argument(
         "--stream-chunk",

@@ -5,15 +5,30 @@ per chip and shards the model across chips via GSPMD only if it exceeds one
 chip, exchanging logits/state via ICI collectives."
 
 * Fleet synthesis (the common case): every chip owns a batch shard of the
-  utterances; the model is replicated. One jitted call over the mesh — GSPMD
-  partitions the whole scan by batch with zero collectives in the loop.
+  utterances; the model is replicated.
+  - `engine="xla"`: ONE jitted call over the mesh — GSPMD partitions the
+    whole scan by batch with zero collectives in the loop, and the sampled
+    stream is bit-identical to the single-device run (the RNG chain is
+    partitioned, not re-keyed).
+  - Fused engines (`pallas`/`turbo`/`mega`): hand-written single-chip Pallas
+    programs, so each data shard runs its own kernel under `shard_map`; the
+    sampling key is `fold_in`-decorrelated per shard (a shard's sampled
+    stream equals a single-chip run of that shard with the folded key;
+    greedy/forced paths bit-match the single-device run exactly).
 * Model-sharded synthesis (models larger than one chip, e.g. the 512-skip
   stress config grown further): stacked weights are sharded on their
   skip/gate channel dimensions over the `model` axis; GSPMD inserts the
   ICI all-reduces for the skip accumulation / post-network contractions
-  inside the sample loop. Same XLA engine code — sharding is entirely
-  expressed through NamedSharding on the inputs (the TPU way: no manual
-  collectives in model code).
+  inside the sample loop. XLA engine only (GSPMD freely repartitions it;
+  the Pallas kernels are single-chip programs). Composes with fleet
+  batch-sharding on the `data` axis of the same mesh.
+
+Multi-process: array arguments are the GLOBAL batch, loaded identically on
+every host (the `wavenet generate` inputs — mel .npy, primer, speaker ids —
+are host-replicated files); placement uses `make_array_from_callback`, so no
+assumption about device→process ordering is made. Outputs come back as
+global arrays — consume per-host rows via `.addressable_shards` (each shard
+carries its global `index`).
 """
 from __future__ import annotations
 
@@ -22,11 +37,122 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ArchConfig
 from ..generate import generate_classes
 from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+FUSED_ENGINES = ("pallas", "turbo", "mega")
+
+
+def _batch_spec(arr) -> P:
+    """Full-rank spec sharding the leading (batch) dim over `data`."""
+    return P(DATA_AXIS, *([None] * (np.ndim(arr) - 1)))
+
+
+def _place_global(arr, mesh: Mesh, spec: P):
+    """Host-identical numpy array -> global jax.Array (single- OR multi-
+    process; `make_array_from_callback` needs no device-order assumption)."""
+    arr = np.asarray(arr)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda i: arr[i])
+
+
+def _place_batch_args(mesh: Mesh, cond, speaker_ids, forced) -> dict:
+    out = {}
+    for name, val in (
+        ("cond", cond), ("speaker_ids", speaker_ids), ("forced", forced)
+    ):
+        if val is not None:
+            out[name] = _place_global(val, mesh, _batch_spec(val))
+    return out
+
+
+def mesh_generate_classes(
+    params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    batch: int,
+    n_samples: int,
+    mesh: Mesh,
+    engine: str = "mega",
+    cond: Optional[jnp.ndarray] = None,        # (B, T>=n, Cc) upsampled
+    speaker_ids: Optional[jnp.ndarray] = None,  # (B,)
+    forced: Optional[jnp.ndarray] = None,       # (B, T) classes, -1 = free
+    temperature: float = 1.0,
+    **kwargs,
+):
+    """Generate (batch, n_samples) classes over the mesh.
+
+    `batch` is the GLOBAL utterance count; it must divide by the data-axis
+    size (and the per-chip shard must satisfy the engine's constraints).
+    Array args are the global batch, identical on every process. Returns a
+    global array sharded (data,) over the batch dim.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+    if batch % n_data:
+        raise ValueError(f"global batch {batch} % data axis {n_data} != 0")
+    if n_model > 1 and engine != "xla":
+        raise ValueError(
+            f"model-axis sharding needs engine='xla' (GSPMD-partitionable); "
+            f"the {engine!r} kernels are single-chip programs"
+        )
+
+    param_specs = (
+        model_sharded_param_specs(params) if n_model > 1
+        else jax.tree_util.tree_map(lambda _: P(), params)
+    )
+    params = jax.tree_util.tree_map(
+        lambda x, sp: _place_global(x, mesh, sp), params, param_specs
+    )
+    # PRNG keys can't ride make_array_from_callback (extended dtype) and
+    # multi-process device_put rejects non-addressable shardings: ship the
+    # raw key data replicated and rewrap inside the trace.
+    key_impl = str(jax.random.key_impl(rng))
+    key_data = _place_global(jax.random.key_data(rng), mesh, P())
+    opt = _place_batch_args(mesh, cond, speaker_ids, forced)
+    out_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    if engine == "xla":
+        # GSPMD: trace the GLOBAL computation once; the compiler partitions
+        # the scan by batch (and by channel when the model axis is used).
+        fn = jax.jit(
+            lambda p, r, o: generate_classes(
+                p, arch, jax.random.wrap_key_data(r, impl=key_impl), batch,
+                n_samples, engine=engine, temperature=temperature,
+                **o, **kwargs,
+            ),
+            out_shardings=out_sharding,
+        )
+        return fn(params, key_data, opt)
+
+    # Fused Pallas engines: one single-chip kernel per data shard.
+    shard_b = batch // n_data
+    opt_specs = {k: _batch_spec(v) for k, v in opt.items()}
+
+    def per_shard(p, r, o):
+        r = jax.random.wrap_key_data(r, impl=key_impl)
+        r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+        return generate_classes(
+            p, arch, r, shard_b, n_samples, engine=engine,
+            temperature=temperature, **o, **kwargs,
+        )
+
+    fn = jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), opt_specs),
+            out_specs=P(DATA_AXIS, None),
+            # The Pallas calls don't declare varying-mesh-axis metadata.
+            check_vma=False,
+        ),
+        out_shardings=out_sharding,
+    )
+    return fn(params, key_data, opt)
 
 
 def fleet_generate_classes(
@@ -39,27 +165,10 @@ def fleet_generate_classes(
     engine: str = "mega",
     **kwargs,
 ):
-    """Batch-sharded generation over the mesh's data axis.
-
-    `batch` is the GLOBAL utterance count; it must divide by the data-axis
-    size (and per-chip batch must satisfy the engine's constraints).
-    """
-    n_data = mesh.shape[DATA_AXIS]
-    if batch % n_data:
-        raise ValueError(f"global batch {batch} % data axis {n_data} != 0")
-    replicated = NamedSharding(mesh, P())
-    params = jax.device_put(params, replicated)
-    rng = jax.device_put(rng, replicated)
-
-    out_shardings = NamedSharding(mesh, P(DATA_AXIS, None))
-    fn = jax.jit(
-        lambda p, r: generate_classes(
-            p, arch, r, batch, n_samples, engine=engine, **kwargs
-        ),
-        out_shardings=out_shardings,
-        static_argnames=(),
+    """Batch-sharded generation over the mesh's data axis (replicated model)."""
+    return mesh_generate_classes(
+        params, arch, rng, batch, n_samples, mesh, engine=engine, **kwargs
     )
-    return fn(params, rng)
 
 
 def model_sharded_param_specs(params) -> dict:
@@ -99,20 +208,7 @@ def model_sharded_generate_classes(
     mesh: Mesh,
     **kwargs,
 ):
-    """Generation with the model sharded over the `model` mesh axis.
-
-    Uses the XLA engine (GSPMD freely repartitions it; the hand-written
-    Pallas kernels are single-chip programs and run in the fleet path).
-    """
-    specs = model_sharded_param_specs(params)
-    params = jax.tree_util.tree_map(
-        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), params, specs
+    """Generation with the model sharded over the `model` mesh axis."""
+    return mesh_generate_classes(
+        params, arch, rng, batch, n_samples, mesh, engine="xla", **kwargs
     )
-    rng = jax.device_put(rng, NamedSharding(mesh, P()))
-    fn = jax.jit(
-        lambda p, r: generate_classes(
-            p, arch, r, batch, n_samples, engine="xla", **kwargs
-        ),
-        out_shardings=NamedSharding(mesh, P()),
-    )
-    return fn(params, rng)

@@ -456,3 +456,58 @@ def test_cli_serve(tmp_path):
               "--set", f'gen.checkpoint_dir="{ckpt}"',
               "--set", f'gen.out_dir="{outdir}"'], timeout=300)
     assert r.returncode != 0 and "sanitization" in r.stderr
+
+
+def test_cli_generate_fleet_and_model_sharded(tmp_path):
+    """Mesh synthesis through the CLI: --fleet shards the batch over the 8
+    virtual devices and --mesh-model shards the channels; both write the
+    SAME wavs as the plain single-device run (greedy, xla engine)."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    for i in range(2):
+        write_wav(str(data / f"{i}.wav"),
+                  0.4 * np.sin(2 * np.pi * (120 + 60 * i) * t), 16000)
+
+    arch = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8",
+        "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt = tmp_path / "ck"
+    r = _run(
+        ["train", *arch,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    def gen(outdir, *extra):
+        r = _run(
+            ["generate", *arch,
+             "--set", f'gen.checkpoint_dir="{ckpt}"',
+             "--set", "gen.batch_size=8", "--set", "gen.n_samples=32",
+             "--set", "gen.temperature=0.0", "--set", 'gen.engine="xla"',
+             "--set", f'gen.out_dir="{outdir}"', *extra],
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        return {
+            f: open(os.path.join(outdir, f), "rb").read()
+            for f in sorted(os.listdir(outdir))
+        }
+
+    ref = gen(tmp_path / "ref")
+    fleet = gen(tmp_path / "fleet", "--fleet")
+    assert fleet == ref
+    ms = gen(tmp_path / "ms", "--fleet", "--mesh-model", "2")
+    assert ms == ref

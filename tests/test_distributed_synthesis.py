@@ -1,6 +1,7 @@
 """Distributed tier: fleet (batch-sharded) and model-sharded synthesis ==
 single-device synthesis, on the virtual 8-device CPU mesh."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -42,3 +43,84 @@ def test_model_sharded_synthesis_matches_single_device():
         params, MICRO, rng, B, T, mesh, temperature=0.0
     )
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(ref))
+
+
+def test_fused_engine_fleet_runs_per_shard_kernels():
+    """Pallas engines fleet via shard_map: greedy output == single device."""
+    params = init_params(jax.random.key(0), MICRO)
+    rng = jax.random.key(3)
+    ref = generate_classes(
+        params, MICRO, rng, B, T, engine="pallas", temperature=0.0
+    )
+    mesh = make_mesh(4, 1)
+    fleet = fleet_generate_classes(
+        params, MICRO, rng, B, T, mesh, engine="pallas", temperature=0.0
+    )
+    assert not fleet.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(fleet), np.asarray(ref))
+
+
+def test_fused_fleet_sampled_rng_contract():
+    """Sampled fused fleet: each data shard equals a single-chip run of that
+    shard with the fold_in(rng, shard_index) key (the documented contract)."""
+    params = init_params(jax.random.key(0), MICRO)
+    rng = jax.random.key(7)
+    mesh = make_mesh(4, 1)
+    fleet = np.asarray(fleet_generate_classes(
+        params, MICRO, rng, B, T, mesh, engine="pallas", temperature=1.0
+    ))
+    shard_b = B // 4
+    for i in range(4):
+        solo = generate_classes(
+            params, MICRO, jax.random.fold_in(rng, i), shard_b, T,
+            engine="pallas", temperature=1.0,
+        )
+        np.testing.assert_array_equal(
+            fleet[i * shard_b : (i + 1) * shard_b], np.asarray(solo)
+        )
+
+
+def test_combined_data_model_mesh():
+    """Fleet batch-sharding composes with model sharding on one mesh."""
+    from lb_wavenet_tpu.parallel.synthesis import mesh_generate_classes
+
+    params = init_params(jax.random.key(0), MICRO)
+    rng = jax.random.key(4)
+    ref = generate_classes(params, MICRO, rng, B, T, temperature=0.0)
+    mesh = make_mesh(2, 4)
+    out = mesh_generate_classes(
+        params, MICRO, rng, B, T, mesh, engine="xla", temperature=0.0
+    )
+    assert not out.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_fleet_shards_forced_priming():
+    """`forced` priming rows ride the data axis: primed fleet == primed solo."""
+    params = init_params(jax.random.key(0), MICRO)
+    rng = jax.random.key(5)
+    forced = np.full((B, T), -1, np.int32)
+    # Distinct primer per lane so a mis-sharded forced matrix would show.
+    forced[:, : T // 2] = (
+        np.arange(B)[:, None] * 7 + np.arange(T // 2)[None, :]
+    ) % 256
+    ref = generate_classes(
+        params, MICRO, rng, B, T, forced=jnp.asarray(forced), temperature=0.0
+    )
+    mesh = make_mesh(8, 1)
+    fleet = fleet_generate_classes(
+        params, MICRO, rng, B, T, mesh, engine="xla", forced=forced,
+        temperature=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(fleet), np.asarray(ref))
+
+
+def test_fused_fleet_mesh_rejected_for_model_axis():
+    import pytest as _pytest
+
+    params = init_params(jax.random.key(0), MICRO)
+    mesh = make_mesh(2, 4)
+    with _pytest.raises(ValueError, match="single-chip"):
+        fleet_generate_classes(
+            params, MICRO, jax.random.key(0), B, T, mesh, engine="mega"
+        )

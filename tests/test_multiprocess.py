@@ -180,3 +180,95 @@ def test_two_process_sequence_parallel_training():
         state, loss = sp_step(state, batch)
         ref.append(float(loss))
     np.testing.assert_allclose(losses[0], ref, rtol=1e-6)
+
+
+WORKER_FLEET = r"""
+import os, sys, json
+sys.path.insert(0, '@REPO@')
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:@PORT@",
+    num_processes=2,
+    process_id=@PID@,
+)
+import numpy as np
+from lb_wavenet_tpu.config import ArchConfig
+from lb_wavenet_tpu.models.wavenet import init_params
+from lb_wavenet_tpu.parallel.mesh import make_mesh
+from lb_wavenet_tpu.parallel.synthesis import fleet_generate_classes
+
+arch = ArchConfig(n_blocks=1, n_layers_per_block=3, residual_channels=8,
+                  skip_channels=8, gate_channels=8, compute_dtype="float32")
+assert jax.process_count() == 2
+mesh = make_mesh(2, 1)  # one device per process: the fleet spans hosts
+params = init_params(jax.random.key(0), arch)
+out = fleet_generate_classes(
+    params, arch, jax.random.key(9), 4, 12, mesh, engine="xla",
+    temperature=0.0,
+)
+# Each host reports only ITS lanes (no replicated duplicate work).
+shards = sorted(
+    ((s.index[0].start or 0, np.asarray(s.data).tolist())
+     for s in out.addressable_shards),
+)
+print("SHARDS", json.dumps(shards), flush=True)
+"""
+
+
+def test_two_process_fleet_generation():
+    """Multi-host fleet synthesis: 2 jax.distributed processes shard the
+    generation batch; the union of per-host lanes equals the single-device
+    run lane-for-lane."""
+    import json
+
+    import jax
+
+    from lb_wavenet_tpu.config import ArchConfig
+    from lb_wavenet_tpu.generate import generate_classes
+    from lb_wavenet_tpu.models.wavenet import init_params
+
+    repo = os.path.dirname(os.path.dirname(__file__))
+    port = 23478
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one device per process
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             WORKER_FLEET.replace('@REPO@', repo).replace(
+                 '@PORT@', str(port)).replace('@PID@', str(pid))],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    arch = ArchConfig(n_blocks=1, n_layers_per_block=3, residual_channels=8,
+                      skip_channels=8, gate_channels=8,
+                      compute_dtype="float32")
+    params = init_params(jax.random.key(0), arch)
+    ref = np.asarray(generate_classes(
+        params, arch, jax.random.key(9), 4, 12, temperature=0.0
+    ))
+
+    rows_seen = {}
+    for out in outs:
+        shards = json.loads(next(
+            l for l in out.splitlines() if l.startswith("SHARDS")
+        ).split(" ", 1)[1])
+        for start, data in shards:
+            data = np.asarray(data)
+            for i in range(data.shape[0]):
+                assert start + i not in rows_seen  # disjoint host shards
+                rows_seen[start + i] = data[i]
+    assert sorted(rows_seen) == list(range(4))
+    for lane, row in rows_seen.items():
+        np.testing.assert_array_equal(row, ref[lane])
