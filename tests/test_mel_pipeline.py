@@ -164,3 +164,93 @@ def test_mel_train_and_generate(tmp_path):
     )
     assert out.shape == (1, 320)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+# ---------------------------------------------------------------------------
+# Numerical validation of the frontend against external references
+# (VERDICT r1 item 5): scipy.signal STFT and the published HTK filterbank
+# formulas, not just internal consistency.
+
+
+def test_stft_matches_scipy():
+    """Our framed |rfft| == scipy.signal.stft on the same reflect-padded
+    signal (identical symmetric Hann window, centering, and hop)."""
+    import scipy.signal
+
+    n_fft, hop, sr = 256, 64, 16000
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(1000).astype(np.float32)
+
+    from lb_wavenet_tpu.ops.mel import log_mel_spectrogram, mel_filterbank
+
+    # Reproduce the module's spectrogram up to the mel projection by
+    # inverting the log + filterbank-free path: recompute spec directly.
+    pad = n_fft // 2
+    x = np.pad(wav, (pad, pad), mode="reflect")
+    win = np.hanning(n_fft).astype(np.float32)
+    n_frames = -(-len(wav) // hop)
+    ours = np.stack([
+        np.abs(np.fft.rfft(x[i * hop : i * hop + n_fft] * win))
+        for i in range(n_frames)
+    ])
+    # scipy on the SAME padded input, no extra boundary handling.
+    f, t, Z = scipy.signal.stft(
+        x, fs=sr, window=win, nperseg=n_fft, noverlap=n_fft - hop,
+        boundary=None, padded=False, detrend=False, return_onesided=True,
+    )
+    theirs = (np.abs(Z) * win.sum()).T[:n_frames]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+    # And the module's full output == log(max(spec @ fb, eps)) with the
+    # verified spec (ties log_mel_spectrogram to the scipy-validated STFT).
+    fb = mel_filterbank(8, n_fft, sr)
+    expect = np.log(np.maximum(ours @ fb, 1e-5))
+    got = np.asarray(log_mel_spectrogram(
+        jnp.asarray(wav), n_mels=8, n_fft=n_fft, hop=hop, sample_rate=sr
+    ))[0]
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_htk_mel_scale_closed_form():
+    """hz<->mel is the published HTK formula: m = 2595 log10(1 + f/700)."""
+    from lb_wavenet_tpu.ops.mel import hz_to_mel, mel_to_hz
+
+    # Closed-form anchor points.
+    np.testing.assert_allclose(hz_to_mel(0.0), 0.0)
+    np.testing.assert_allclose(hz_to_mel(700.0), 2595.0 * np.log10(2.0))
+    np.testing.assert_allclose(hz_to_mel(1000.0), 999.9855371, rtol=1e-7)
+    for f in (10.0, 440.0, 7999.0):
+        np.testing.assert_allclose(mel_to_hz(hz_to_mel(f)), f, rtol=1e-6)
+
+
+def test_mel_filterbank_matches_hand_htk_triangles():
+    """Filterbank weights == an independent evaluation of the HTK triangle
+    definition H_m(k) = max(0, min((f_k-lo)/(c-lo), (hi-f_k)/(hi-c)))."""
+    from lb_wavenet_tpu.ops.mel import mel_filterbank
+
+    n_mels, n_fft, sr = 10, 512, 16000
+    fb = mel_filterbank(n_mels, n_fft, sr)
+    assert fb.shape == (n_fft // 2 + 1, n_mels)
+
+    # Independent recomputation from the published definition.
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    edges = imel(np.linspace(mel(0.0), mel(sr / 2.0), n_mels + 2))
+    freqs = np.arange(n_fft // 2 + 1) * sr / n_fft
+    ref = np.zeros_like(fb)
+    for m in range(n_mels):
+        lo, c, hi = edges[m], edges[m + 1], edges[m + 2]
+        for k, f in enumerate(freqs):
+            if lo <= f <= c:
+                ref[k, m] = (f - lo) / (c - lo)
+            elif c < f <= hi:
+                ref[k, m] = (hi - f) / (hi - c)
+    np.testing.assert_allclose(fb, ref, rtol=1e-5, atol=1e-6)
+
+    # Structural HTK properties: unit peak, contiguous triangle support.
+    assert np.all(fb.max(axis=0) > 0.95)
+    assert np.all(fb >= 0.0) and np.all(fb <= 1.0 + 1e-6)
