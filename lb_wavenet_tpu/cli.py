@@ -306,6 +306,13 @@ def cmd_generate(args) -> int:
     import jax
     import numpy as np
 
+    if cfg.gen.matmul_precision:
+        # Audit mode: full-precision fp32 matmuls in the XLA engine recover
+        # long-run cross-engine bit-match on TPU (GenConfig docstring).
+        jax.config.update(
+            "jax_default_matmul_precision", cfg.gen.matmul_precision
+        )
+
     from .data import write_wav
     from .generate import generate
     from .train import init_state
@@ -413,19 +420,20 @@ def cmd_generate(args) -> int:
                 jax.numpy.dtype(cfg.arch.compute_dtype),
             )
 
-        # Streaming engines: mega (fastest; batch % 128 == 0), turbo (any
-        # batch), pallas, xla.
+        # Streaming engines: mega (fastest; the session is auto-padded to
+        # its 128-lane multiple, pad lanes are free-running throwaways
+        # sliced off below), turbo/pallas/xla (any batch).
         eng = cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "xla")
-        if eng == "mega" and cfg.gen.batch_size % 128:
-            fallback = "turbo"
-            if jax.process_index() == 0:
-                print(json.dumps({
-                    "notice": f"engine {eng!r} cannot stream at batch "
-                              f"{cfg.gen.batch_size}; using {fallback!r}",
-                }), flush=True)
-            eng = fallback
+        from .generate import padded_stream_batch
+
+        device_b = padded_stream_batch(cfg.gen.batch_size, eng)
+        if device_b != cfg.gen.batch_size and jax.process_index() == 0:
+            print(json.dumps({
+                "padded_session_batch": device_b,
+                "batch": cfg.gen.batch_size,
+            }), flush=True)
         stream = start_stream(
-            cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
+            cfg.arch, device_b, jax.random.key(cfg.gen.seed),
             engine=eng, params=params,
         )
         parts = []
@@ -443,16 +451,28 @@ def cmd_generate(args) -> int:
             # below (real cond covers everything kept since total_cond >=
             # n_samples).
             cond_chunk = next(cond_gen) if cond_gen is not None else None
+            spk = speaker_ids
+            if device_b != cfg.gen.batch_size:
+                pad = device_b - cfg.gen.batch_size
+                if cond_chunk is not None:
+                    cond_chunk = jax.numpy.concatenate([
+                        cond_chunk,
+                        jax.numpy.zeros(
+                            (pad,) + cond_chunk.shape[1:], cond_chunk.dtype
+                        ),
+                    ])
+                if spk is not None:
+                    spk = np.concatenate([spk, np.zeros(pad, np.int32)])
             classes, stream = stream_chunk(
                 params, cfg.arch, stream, chunk,
                 cond=cond_chunk,
                 speaker_ids=(
-                    jax.numpy.asarray(speaker_ids)
-                    if speaker_ids is not None else None
+                    jax.numpy.asarray(spk) if spk is not None else None
                 ),
                 temperature=cfg.gen.temperature,
                 engine=eng,
             )
+            classes = classes[: cfg.gen.batch_size]  # drop pad lanes
             parts.append(
                 np.asarray(mu_law_decode(classes, cfg.arch.quant_channels))
             )
@@ -623,6 +643,11 @@ def cmd_serve(args) -> int:
     import jax
     import numpy as np
 
+    if cfg.gen.matmul_precision:
+        jax.config.update(
+            "jax_default_matmul_precision", cfg.gen.matmul_precision
+        )
+
     from .data import write_wav
     from .generate import mu_law_decode
     from .serving import SessionPool
@@ -672,11 +697,9 @@ def cmd_serve(args) -> int:
         raise SystemExit(f"{args.requests}: no requests")
 
     chunk = args.stream_chunk or 1024
-    # Same default ladder as generate/bench: mega when the batch is
-    # lane-aligned, else turbo (both stream; gen.engine overrides).
-    engine = cfg.gen.engine or (
-        "mega" if cfg.gen.batch_size % 128 == 0 else "turbo"
-    )
+    # Mega serves ANY pool size now (SessionPool auto-pads the device
+    # session to the 128-lane multiple); gen.engine overrides.
+    engine = cfg.gen.engine or "mega"
     pool = SessionPool(
         params, cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
         engine=engine, chunk_size=chunk,

@@ -30,7 +30,11 @@ class ArchConfig:
     skip_channels: int = 256          # width of the skip accumulator
     gate_channels: int = 64           # width of each of tanh/sigmoid branches
     quant_channels: int = 256         # mu-law classes (output softmax size)
-    input_kernel: int = 2             # width of the causal input conv
+    # Width of the causal input conv. 2 is standard WaveNet and what the
+    # fused AR engines (turbo/mega) implement — their carried frontend
+    # state holds exactly one previous embedding; other widths run on the
+    # xla/pallas engines (the fused paths raise a clear guard).
+    input_kernel: int = 2
     # Local conditioning (mel vocoder mode). n_mels == 0 disables it.
     n_mels: int = 0
     cond_channels: int = 64           # projected conditioning width
@@ -138,6 +142,13 @@ class GenConfig:
     # AR engine: "xla" | "pallas" (bit-matches xla) | "turbo" | "mega"
     # (fastest; see ops/pallas/ar_mega.py). "" -> use_pallas legacy mapping.
     engine: str = ""
+    # Cross-engine AUDIT mode: "" keeps XLA's backend default ("default" on
+    # TPU = reduced-precision fp32 matmuls, the root cause of the ~150-step
+    # free-running drift vs the fp32-exact Pallas engines — ar_mega.py
+    # docstring). Set "highest" to run the XLA engine at full fp32 MXU
+    # precision and restore long-run cross-engine bit-match on TPU (slower;
+    # for auditing, not production). Values: "default"|"high"|"highest".
+    matmul_precision: str = ""
 
 
 

@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ArchConfig
-from .generate import Params, reset_lanes, start_stream, stream_chunk
+from .generate import (
+    Params,
+    padded_stream_batch,
+    reset_lanes,
+    start_stream,
+    stream_chunk,
+)
 
 
 @dataclasses.dataclass
@@ -75,10 +81,14 @@ class SessionPool:
         self.engine = engine
         self.chunk_size = chunk_size
         self.temperature = temperature
-        self.stream = start_stream(arch, batch, rng, engine=engine,
-                                   params=params)
+        # The device session is auto-padded to the engine's lane multiple
+        # (mega: 128 on TPU) so the fastest engine serves ANY pool size;
+        # pad lanes are permanently free-running throwaways, never leased.
+        self._device_batch = padded_stream_batch(batch, engine)
+        self.stream = start_stream(arch, self._device_batch, rng,
+                                   engine=engine, params=params)
         self._lanes: List[Optional[_Lease]] = [None] * batch
-        self._pending_reset = np.zeros(batch, dtype=bool)
+        self._pending_reset = np.zeros(self._device_batch, dtype=bool)
         # Lane 0..B-1 of a brand-new stream is already a fresh session, so
         # the first lease per lane needs no reset.
         self._fresh = np.ones(batch, dtype=bool)
@@ -138,12 +148,14 @@ class SessionPool:
                 lease.speaker if lease is not None and lease.speaker
                 is not None else 0
                 for lease in self._lanes
-            ]
+            ] + [0] * (self._device_batch - self.batch)  # pad lanes
             speaker_ids = jnp.asarray(ids, jnp.int32)
         cond = None
         if self.arch.use_local_cond:
             cc = self.arch.cond_channels
-            slab = np.zeros((self.batch, self.chunk_size, cc), np.float32)
+            slab = np.zeros(
+                (self._device_batch, self.chunk_size, cc), np.float32
+            )
             for i, lease in enumerate(self._lanes):
                 if lease is not None:
                     # Only ask cond_fn for the frames the request will

@@ -511,3 +511,47 @@ def test_cli_generate_fleet_and_model_sharded(tmp_path):
     assert fleet == ref
     ms = gen(tmp_path / "ms", "--fleet", "--mesh-model", "2")
     assert ms == ref
+
+
+def test_cli_streaming_mega_auto_pads_odd_batch(tmp_path, monkeypatch):
+    """mega streaming at a non-multiple batch auto-pads the device session
+    (WAVENET_MEGA_PAD_TEST=4 stands in for TPU's 128) and writes exactly
+    gen.batch_size wavs."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    monkeypatch.setenv("WAVENET_MEGA_PAD_TEST", "4")
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 150 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=2",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8",
+        "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt, outdir = tmp_path / "ck", tmp_path / "out"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    r = _run(
+        ["generate", *tiny, "--stream-chunk", "8",
+         "--set", 'gen.engine="mega"',
+         "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=3",
+         "--set", "gen.n_samples=16", "--set", f'gen.out_dir="{outdir}"'],
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert '"padded_session_batch": 4' in r.stdout
+    assert len(os.listdir(outdir)) == 3

@@ -327,3 +327,21 @@ def test_streaming_invariant_across_randomized_archs():
             err_msg=f"trial {trial}: splits={splits}, "
                     f"K={arch.input_kernel}",
         )
+
+
+def test_matmul_precision_audit_mode():
+    """gen.matmul_precision plumbing (VERDICT r1 item 9): under
+    jax.default_matmul_precision('highest') the XLA engine still bit-matches
+    the Pallas engine (on TPU this knob is what RESTORES long-run
+    cross-engine agreement — the default reduced-precision fp32 matmuls are
+    the documented ~150-step drift cause, ops/pallas/ar_mega.py)."""
+    params = _params()
+    rng = jax.random.key(11)
+    with jax.default_matmul_precision("highest"):
+        hi = generate_classes(
+            params, MICRO, rng, B, T, engine="xla", temperature=1.0
+        )
+        hi_p = generate_classes(
+            params, MICRO, rng, B, T, engine="pallas", temperature=1.0
+        )
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_p))

@@ -225,3 +225,40 @@ def test_pool_randomized_soak_matches_dedicated():
         assert len(seq) == n
         ref = _dedicated(params, arch, n, speaker=spk)
         np.testing.assert_array_equal(seq, ref, err_msg=f"{rid} n={n} spk={spk}")
+
+
+def test_pool_mega_any_batch_auto_pads(monkeypatch):
+    """VERDICT r1 item 6: SessionPool(batch=K, engine='mega') works for ANY
+    K — the device session auto-pads to the engine lane multiple
+    (WAVENET_MEGA_PAD_TEST=4 stands in for TPU's 128 on CPU); pad lanes are
+    never leased and greedy request output stays bit-identical to a
+    dedicated session."""
+    monkeypatch.setenv("WAVENET_MEGA_PAD_TEST", "4")
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    pool = SessionPool(params, arch, batch=3, rng=jax.random.key(1),
+                       engine="mega", chunk_size=CHUNK, temperature=0.0)
+    assert pool._device_batch == 4  # padded to the lane multiple
+    assert pool.free_lanes() == 3   # pad lane not leasable
+
+    assert pool.submit("a", n_samples=2 * CHUNK)
+    assert pool.submit("b", n_samples=CHUNK + 5)
+    assert pool.submit("c", n_samples=CHUNK)
+    assert not pool.submit("d", n_samples=CHUNK)  # capacity is 3, not 4
+    acc, fin = _drain(pool, ["a", "b", "c"])
+    # Recycled lane mid-session at the padded device batch.
+    assert pool.submit("d", n_samples=2 * CHUNK)
+    _, rest = _drain(pool, ["d"], got=acc)
+
+    for rid, n, seq in [
+        ("a", 2 * CHUNK, fin["a"]),
+        ("b", CHUNK + 5, fin["b"]),
+        ("c", CHUNK, fin["c"]),
+        ("d", 2 * CHUNK, rest["d"]),
+    ]:
+        ref = _dedicated(params, arch, n)
+        np.testing.assert_array_equal(seq, ref, err_msg=rid)
+        assert len(seq) == n
