@@ -557,7 +557,10 @@ def cmd_info(args) -> int:
     import numpy as np
 
     from .models.wavenet import init_params
-    from .utils.profiling import ar_step_speed_of_light
+    from .utils.profiling import (
+        ar_step_speed_of_light,
+        train_step_speed_of_light,
+    )
 
     arch = cfg.arch
     shapes = jax.eval_shape(
@@ -586,6 +589,13 @@ def cmd_info(args) -> int:
                 "ar_speed_of_light": {
                     k: (round(v, 3) if isinstance(v, float) else v)
                     for k, v in sol.items()
+                },
+                "train_speed_of_light": {
+                    k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in train_step_speed_of_light(
+                        arch, cfg.train.batch_size, cfg.train.window_size,
+                        tapcat=cfg.train.tapcat,
+                    ).items()
                 },
             }
         )

@@ -118,7 +118,9 @@ class TrainConfig:
     # shards the TIME dimension of each window (batch replicated) with a
     # recompute-with-halo exchange of R-1 boundary samples — for windows too
     # long for one chip's activation memory. Mel/speaker conditioning and
-    # multi-process meshes supported; uses the XLA forward (fused_stack off).
+    # multi-process meshes supported; composes with fused_stack/tapcat (the
+    # Pallas kernel runs per time shard with an in-kernel halo mask) and
+    # with grad_accum (batch-row microbatches; time stays sharded).
     seq_parallel: bool = False
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
     fused_stack: bool = False         # fused Pallas training-stack kernel

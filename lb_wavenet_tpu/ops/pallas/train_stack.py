@@ -53,6 +53,7 @@ def _fwd_kernel(
     wr_ref, br_ref,                # (1,G,C) (1,1,C)
     ws_ref, bs_ref,                # (1,G,S) (1,1,S)
     cond_ref, wcond_ref,           # (1,T,Cc) (1,Cc,2G) or None
+    mask_ref,                      # (1,T,1) residual-stream mask or None
     z_ref,                         # out (1,1,T,G)
     skip_ref,                      # out (1,T,S)
     xfin_ref,                      # out (1,T,C): final residual stream
@@ -93,7 +94,14 @@ def _fwd_kernel(
     # its matmul anyway, so bf16 storage is bit-neutral for bf16 archs and
     # halves the largest HBM tensor of the training step.
     z_ref[0, 0] = z.astype(z_ref.dtype)
-    x_s[:] = x + mm(z, wr_ref[0]) + br_ref[0, 0]
+    x_new = x + mm(z, wr_ref[0]) + br_ref[0, 0]
+    if mask_ref is not None:
+        # Sequence-parallel halo masking (parallel/halo.py): keep masked
+        # rows at EXACTLY zero through the whole stack, matching the XLA
+        # forward's per-layer re-mask (multiplying unmasked rows by 1.0 is
+        # bitwise neutral, so the mask path stays parity-exact).
+        x_new = x_new * mask_ref[0]
+    x_s[:] = x_new
     contrib = mm(z, ws_ref[0]) + bs_ref[0, 0]
 
     @pl.when(l == 0)
@@ -121,6 +129,7 @@ def _fwd_kernel_tc(
     wr_ref, br_ref,                # (1,G,C) (1,1,C)
     ws_ref, bs_ref,                # (1,G,S) (1,1,S)
     cond_ref, wcond_ref,           # (1,T,Cc) (1,Cc,2G) or None
+    mask_ref,                      # (1,T,1) residual-stream mask or None
     z_ref, skip_ref, xfin_ref,     # outs (1,1,T,G) (1,T,S) (1,T,C)
     x_s, skip_s, xcat_s,           # scratch (T,C) (T,S) (T+maxd,2C)
     *,
@@ -171,7 +180,10 @@ def _fwd_kernel_tc(
     g = pre.shape[-1] // 2
     z = jnp.tanh(pre[:, :g]) * jax.nn.sigmoid(pre[:, g:])
     z_ref[0, 0] = z.astype(z_ref.dtype)
-    x_s[:] = x + mm(z, wr_ref[0]) + br_ref[0, 0]
+    x_new = x + mm(z, wr_ref[0]) + br_ref[0, 0]
+    if mask_ref is not None:
+        x_new = x_new * mask_ref[0]  # see _fwd_kernel's mask note
+    x_s[:] = x_new
     contrib = mm(z, ws_ref[0]) + bs_ref[0, 0]
 
     @pl.when(l == 0)
@@ -198,6 +210,7 @@ def _bwd_kernel_tc(
     wcT_ref, wpT_ref,              # (1,2G,C) x2
     wrT_ref, wsT_ref,              # (1,C,G) (1,S,G)
     cond_ref, wcond_ref, wcondT_ref,  # or None
+    mask_ref,                      # (1,T,1) residual-stream mask or None
     # outputs
     dh0_ref,                       # (1, T, C)
     dwcp_ref, db_ref,              # (L,2C,2G) [dwc; dwp] merged, (L,1,2G)
@@ -269,6 +282,13 @@ def _bwd_kernel_tc(
     gskip = gskip_ref[0]
 
     x_cur = x_s[:] - mm(z, wr_ref[0]) - br_ref[0, 0]
+    if mask_ref is not None:
+        # Forward applied x_{l+1} = (x_l + z@wr + br) * m with masked rows
+        # exactly zero: invert by re-masking (unmasked rows multiply by 1.0
+        # — bitwise neutral), and kill the gradient through the mask
+        # multiply (dy = dx_{l+1} * m) before any adjoint consumes it.
+        x_cur = x_cur * mask_ref[0]
+        dx_next = dx_next * mask_ref[0]
     x_s[:] = x_cur
 
     # Recompute pre via the merged tap contraction (bitwise the same pre as
@@ -359,6 +379,7 @@ def _bwd_kernel(
     wrT_ref,                       # (1,C,G)
     wsT_ref,                       # (1,S,G)
     cond_ref, wcond_ref, wcondT_ref,  # (1,T,Cc) (1,Cc,2G) (1,2G,Cc) or None
+    mask_ref,                      # (1,T,1) residual-stream mask or None
     # outputs
     dh0_ref,                       # (1, T, C) @ row
     dwc_ref, dwp_ref, db_ref,      # (L,C,2G) (L,C,2G) (L,1,2G) whole
@@ -419,6 +440,9 @@ def _bwd_kernel(
 
     # Reconstruct layer input: x_lr = x_{lr+1} - (z @ w_res + b_res).
     x_cur = x_s[:] - mm(z, wr_ref[0]) - br_ref[0, 0]
+    if mask_ref is not None:
+        x_cur = x_cur * mask_ref[0]       # see _bwd_kernel_tc's mask note
+        dx_next = dx_next * mask_ref[0]
     x_s[:] = x_cur
 
     # Recompute pre-activation (same formula as forward).
@@ -537,7 +561,8 @@ def _lyr(shape, rev=False):
     )
 
 
-def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret, tapcat=False):
+def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret, tapcat=False,
+              mask=None):
     L = len(arch.dilations)
     bsz, t_dim, c = h0.shape
     two_g = lp["w_cur"].shape[-1]
@@ -590,26 +615,24 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret, tapcat=False):
         cc = lp["w_cond"].shape[1]
         in_specs += [_row((t_dim, cc)), _lyr((cc, two_g))]
         args += [cond, lp["w_cond"]]
-        kernel = functools.partial(
-            _fwd_kernel_tc if tapcat else _fwd_kernel,
-            compute_dtype=dt, n_layers=L, max_d=max_d,
-        )
-    elif tapcat:
-        def kernel(dils_r, h0_r, wcp_r, bb, wr, br, ws, bs, z_r, skip_r,
-                   xfin_r, x_s, skip_s, xcat_s):
-            return _fwd_kernel_tc(
-                dils_r, h0_r, wcp_r, bb, wr, br, ws, bs, None, None,
-                z_r, skip_r, xfin_r, x_s, skip_s, xcat_s,
-                compute_dtype=dt, n_layers=L, max_d=max_d,
-            )
-    else:
-        def kernel(dils_r, h0_r, wc, wp, bb, wr, br, ws, bs, z_r, skip_r,
-                   xfin_r, x_s, skip_s, stage_s):
-            return _fwd_kernel(
-                dils_r, h0_r, wc, wp, bb, wr, br, ws, bs, None, None,
-                z_r, skip_r, xfin_r, x_s, skip_s, stage_s,
-                compute_dtype=dt, n_layers=L, max_d=max_d,
-            )
+    has_mask = mask is not None
+    if has_mask:
+        in_specs += [_row((t_dim, 1))]
+        args += [mask.astype(jnp.float32)[..., None]]
+
+    base = functools.partial(
+        _fwd_kernel_tc if tapcat else _fwd_kernel,
+        compute_dtype=dt, n_layers=L, max_d=max_d,
+    )
+    n_in = len(args)
+
+    def kernel(dils_r, *rest):
+        ins = list(rest[:n_in])
+        tail = rest[n_in:]  # outputs + scratch, positionally unchanged
+        mask_r = ins.pop() if has_mask else None
+        wcond_r = ins.pop() if has_cond else None
+        cond_r = ins.pop() if has_cond else None
+        return base(dils_r, *ins, cond_r, wcond_r, mask_r, *tail)
 
     z_all, skip, x_final = pl.pallas_call(
         kernel,
@@ -640,7 +663,7 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret, tapcat=False):
 
 
 def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
-              interpret, tapcat=False):
+              interpret, tapcat=False, mask=None):
     L = len(arch.dilations)
     bsz, t_dim, c = h0.shape
     two_g = lp["w_cur"].shape[-1]
@@ -703,6 +726,10 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
             _lyr((two_g, cc), rev=True),
         ]
         args += [cond, lp["w_cond"], tr(lp["w_cond"])]
+    has_mask = mask is not None
+    if has_mask:
+        in_specs += [_row((t_dim, 1))]
+        args += [mask.astype(jnp.float32)[..., None]]
 
     if tapcat:
         tap_out_specs = [_whole((L, 2 * c, two_g))]
@@ -767,36 +794,35 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
             pltpu.VMEM((L * cc, two_g), jnp.float32),   # dwcond
             pltpu.VMEM((t_dim, cc), jnp.float32),       # dcond
         ]
-        kernel = functools.partial(
-            _bwd_kernel_tc if tapcat else _bwd_kernel,
-            compute_dtype=dt, n_layers=L, max_d=max_d,
+
+    n_in = len(args)
+    n_out = len(out_specs)
+    base = functools.partial(
+        _bwd_kernel_tc if tapcat else _bwd_kernel,
+        compute_dtype=dt, n_layers=L, max_d=max_d,
+    )
+
+    def kernel(dils_r, *rest):
+        ins = list(rest[:n_in])
+        outs = list(rest[n_in:n_in + n_out])
+        scr = list(rest[n_in + n_out:])
+        mask_r = ins.pop() if has_mask else None
+        if has_cond:
+            wcondT_r = ins.pop()
+            wcond_r = ins.pop()
+            cond_r = ins.pop()
+            dwcond_r = outs.pop()
+            dcond_r = outs.pop()
+            dcond_scr = scr.pop()
+            dwcond_scr = scr.pop()
+        else:
+            cond_r = wcond_r = wcondT_r = None
+            dcond_r = dwcond_r = None
+            dcond_scr = dwcond_scr = None
+        return base(
+            dils_r, *ins, cond_r, wcond_r, wcondT_r, mask_r,
+            *outs, dcond_r, dwcond_r, *scr, dwcond_scr, dcond_scr,
         )
-    elif tapcat:
-        def kernel(dils_r, gs, xf, zr, wcp_r, bb, wr, br, wcT, wpT, wrT, wsT,
-                   dh0, dwcp, db, dwr, dbr, dws, dbs,
-                   x_s, dx_s, st1, xcat_s,
-                   dwcp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s):
-            return _bwd_kernel_tc(
-                dils_r, gs, xf, zr, wcp_r, bb, wr, br, wcT, wpT, wrT, wsT,
-                None, None, None,
-                dh0, dwcp, db, dwr, dbr, dws, dbs, None, None,
-                x_s, dx_s, st1, xcat_s,
-                dwcp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s, None, None,
-                compute_dtype=dt, n_layers=L, max_d=max_d,
-            )
-    else:
-        def kernel(dils_r, gs, xf, zr, wc, wp, bb, wr, br, wcT, wpT, wrT, wsT,
-                   dh0, dwc, dwp, db, dwr, dbr, dws, dbs,
-                   x_s, dx_s, st1, st2,
-                   dwc_s, dwp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s):
-            return _bwd_kernel(
-                dils_r, gs, xf, zr, wc, wp, bb, wr, br, wcT, wpT, wrT, wsT,
-                None, None, None,
-                dh0, dwc, dwp, db, dwr, dbr, dws, dbs, None, None,
-                x_s, dx_s, st1, st2,
-                dwc_s, dwp_s, db_s, dwr_s, dbr_s, dws_s, dbs_s, None, None,
-                compute_dtype=dt, n_layers=L, max_d=max_d,
-            )
 
     outs = pl.pallas_call(
         kernel,
@@ -815,13 +841,13 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
 
 
 def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False,
-                     tapcat: bool = False):
+                     tapcat: bool = False, has_mask: bool = False):
     """Build the custom-VJP fused stack for `arch`.
 
-    Returns fn(lp_subset, h0, cond) -> skip_sum where lp_subset is the
-    layers dict (w_cur, w_prev, b, w_res, b_res, w_skip, b_skip[, w_cond])
-    and cond is the upsampled (B, T, Cc) conditioning (or a dummy zeros
-    array when has_cond=False; it gets a zero gradient).
+    Returns fn(lp_subset, h0, cond[, mask]) -> skip_sum where lp_subset is
+    the layers dict (w_cur, w_prev, b, w_res, b_res, w_skip, b_skip[,
+    w_cond]) and cond is the upsampled (B, T, Cc) conditioning (or a dummy
+    zeros array when has_cond=False; it gets a zero gradient).
 
     tapcat: contract the two width-2 taps as ONE K=2C matmul on a VMEM
     [x | shift(x)] concat (full MXU depth at C=64 archs instead of two
@@ -829,30 +855,27 @@ def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False,
     contraction). Same math to rounding (one fused accumulation instead of
     xc + xp). Configured via TrainConfig.tapcat (on in the production
     configs; ~0.7% measured win — docs/kernels.md).
+
+    has_mask: the fn takes a 4th (B, T) float mask argument — the
+    sequence-parallel residual-stream mask (parallel/halo.py): masked rows
+    stay exactly zero through the stack (h0 must arrive pre-masked, as
+    input_frontend does). The mask is a structural input, not a
+    differentiable one (its cotangent is zero). mask=ones is bitwise
+    identical to the unmasked kernel.
     """
 
-    @jax.custom_vjp
-    def fused(lp, h0, cond):
-        _, skip, _ = _fwd_call(
-            lp, arch, h0, cond if has_cond else None, interpret, tapcat
-        )
-        return skip
-
-    def fwd(lp, h0, cond):
-        # x_final comes straight from the kernel's VMEM residual stream —
-        # a (B, T, C) write. (It was previously reconstructed with an XLA
-        # einsum over the whole (B, L, T, G) z_all tensor: an extra L*G/C
-        # ~ 30x HBM read per step, measured ~7% of the train step.)
+    def _fwd_res(lp, h0, cond, mask):
         z_all, skip, x_final = _fwd_call(
-            lp, arch, h0, cond if has_cond else None, interpret, tapcat
+            lp, arch, h0, cond if has_cond else None, interpret, tapcat,
+            mask,
         )
-        return skip, (lp, h0, cond, z_all, x_final)
+        return z_all, skip, x_final
 
-    def bwd(res, g_skip):
-        lp, h0, cond, z_all, x_final = res
+    def _bwd_impl(res, g_skip):
+        lp, h0, cond, mask, z_all, x_final = res
         outs = _bwd_call(
             lp, arch, h0, cond if has_cond else None, z_all, x_final,
-            g_skip, interpret, tapcat,
+            g_skip, interpret, tapcat, mask,
         )
         if tapcat:
             c = h0.shape[-1]
@@ -883,6 +906,39 @@ def make_fused_stack(arch: ArchConfig, has_cond: bool, interpret: bool = False,
             if k not in dlp:
                 dlp[k] = jnp.zeros_like(lp[k])
         return dlp, dh0, dcond
+
+    if has_mask:
+        @jax.custom_vjp
+        def fused(lp, h0, cond, mask):
+            _, skip, _ = _fwd_res(lp, h0, cond, mask)
+            return skip
+
+        def fwd(lp, h0, cond, mask):
+            z_all, skip, x_final = _fwd_res(lp, h0, cond, mask)
+            return skip, (lp, h0, cond, mask, z_all, x_final)
+
+        def bwd(res, g_skip):
+            dlp, dh0, dcond = _bwd_impl(res, g_skip)
+            return dlp, dh0, dcond, jnp.zeros_like(res[3])
+
+        fused.defvjp(fwd, bwd)
+        return fused
+
+    @jax.custom_vjp
+    def fused(lp, h0, cond):
+        _, skip, _ = _fwd_res(lp, h0, cond, None)
+        return skip
+
+    def fwd(lp, h0, cond):
+        # x_final comes straight from the kernel's VMEM residual stream —
+        # a (B, T, C) write. (It was previously reconstructed with an XLA
+        # einsum over the whole (B, L, T, G) z_all tensor: an extra L*G/C
+        # ~ 30x HBM read per step, measured ~7% of the train step.)
+        z_all, skip, x_final = _fwd_res(lp, h0, cond, None)
+        return skip, (lp, h0, cond, None, z_all, x_final)
+
+    def bwd(res, g_skip):
+        return _bwd_impl(res, g_skip)
 
     fused.defvjp(fwd, bwd)
     return fused

@@ -148,10 +148,17 @@ def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
 
 
 def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
-                  speaker_ids=None, tapcat=False):
+                  speaker_ids=None, tapcat=False, cond=None,
+                  input_mask=None):
     """forward() with the dilated stack replaced by the fused Pallas
     training kernel (ops/pallas/train_stack.py). Same logits (parity-tested),
-    ~3x less activation HBM traffic."""
+    ~3x less activation HBM traffic.
+
+    Like forward(), conditioning comes as frame-rate `cond_frames`
+    (upsampled here) OR pre-upsampled sample-rate `cond`; `input_mask` is
+    the sequence-parallel halo mask (parallel/halo.py) — the kernel keeps
+    masked rows of the residual stream exactly zero, matching forward()'s
+    per-layer re-mask."""
     import jax.numpy as jnp
 
     from .models.conditioning import upsample_cond
@@ -160,7 +167,10 @@ def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
 
     dtype = jnp.dtype(arch.compute_dtype)
     lp = dict(params["layers"])
-    cond = None
+    if cond is not None and cond_frames is not None:
+        raise ValueError("pass cond_frames OR pre-upsampled cond, not both")
+    if cond is not None:
+        cond = cond[:, : x_classes.shape[1]].astype(jnp.float32)
     if cond_frames is not None:
         cond = upsample_cond(params["upsampler"], arch, cond_frames, dtype)
         cond = cond[:, : x_classes.shape[1]].astype(jnp.float32)
@@ -183,12 +193,17 @@ def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
         cond = jnp.zeros(
             (x_classes.shape[0], x_classes.shape[1], 1), jnp.float32
         )
-    h0 = input_frontend(params, arch, x_classes, dtype)
+    h0 = input_frontend(
+        params, arch, x_classes, dtype, input_mask=input_mask
+    )
     fused = make_fused_stack(
         arch, has_cond=has_cond, interpret=jax.default_backend() == "cpu",
-        tapcat=tapcat,
+        tapcat=tapcat, has_mask=input_mask is not None,
     )
-    skip_sum = fused(lp, h0, cond)
+    if input_mask is not None:
+        skip_sum = fused(lp, h0, cond, input_mask.astype(jnp.float32))
+    else:
+        skip_sum = fused(lp, h0, cond)
     return post_network(params, skip_sum, dtype)
 
 
@@ -285,20 +300,62 @@ def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
     The loss is parallel/halo.py's recompute-with-halo formulation; batches
     come from seq_batch_to_device (windowed targets/mask expanded over the
     full input length). Numerically equivalent to the windowed train_step
-    (tested in tests/test_halo.py).
+    (tested in tests/test_halo.py). Production knobs thread through:
+    TrainConfig.fused_stack/tapcat run the Pallas training kernel per time
+    shard (in-kernel halo mask), and grad_accum > 1 scans BATCH-ROW
+    microbatches (time stays fully sharded within each micro), accumulating
+    the exact masked-mean numerator like _accum_train_step.
     """
-    from .parallel.halo import sequence_parallel_loss
+    from .parallel.halo import sequence_parallel_loss_sums
+
+    def sums(params, batch):
+        return sequence_parallel_loss_sums(
+            params, arch, batch["inputs"], batch["targets"],
+            batch["mask"], mesh,
+            cond_frames=batch.get("mel"),
+            speaker_ids=batch.get("speaker"),
+            remat=train.remat,
+            fused_stack=train.fused_stack,
+            tapcat=train.tapcat,
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict):
-        def lf(params):
-            return sequence_parallel_loss(
-                params, arch, batch["inputs"], batch["targets"],
-                batch["mask"], mesh,
-                cond_frames=batch.get("mel"),
-                speaker_ids=batch.get("speaker"),
-                remat=train.remat,
+        if train.grad_accum > 1:
+            k = train.grad_accum
+            b = batch["inputs"].shape[0]
+            if b % k:
+                raise ValueError(
+                    f"batch_size {b} is not divisible by grad_accum {k}"
+                )
+
+            def strided(a):
+                a2 = a.reshape((b // k, k) + a.shape[1:])
+                return jnp.moveaxis(a2, 1, 0)  # (k, b/k, ...)
+
+            xs = {key: strided(v) for key, v in batch.items()}
+
+            def body(carry, micro):
+                g_acc, num_acc, den_acc = carry
+                (num, den), g = jax.value_and_grad(
+                    lambda p, m: sums(p, m), has_aux=True
+                )(state.params, micro)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, num_acc + num, den_acc + den), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
+            (g_sum, num, den), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0.0), jnp.float32(0.0)), xs
+            )
+            d = jnp.maximum(den, 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / d, g_sum)
+            return _apply_updates(state, grads, train), num / d
+
+        def lf(params):
+            num, den = sums(params, batch)
+            return num / jnp.maximum(den, 1.0)
 
         loss, grads = jax.value_and_grad(lf)(state.params)
         return _apply_updates(state, grads, train), loss
@@ -394,16 +451,6 @@ def run_training(
 
     sp_step = None
     if train.seq_parallel:
-        if train.fused_stack:
-            raise ValueError(
-                "seq_parallel uses the XLA forward; set fused_stack=false"
-            )
-        if train.grad_accum > 1:
-            raise ValueError(
-                "seq_parallel does not accumulate gradients (it shards "
-                "TIME, not batch rows); set grad_accum=1 — use train.remat "
-                "to cut SP activation memory"
-            )
         sp_step = make_sp_train_step(mesh, arch, train)
 
     state = init_state(jax.random.key(train.seed), arch, train)

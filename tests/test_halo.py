@@ -329,12 +329,138 @@ def test_sp_mel_step_exact_with_padding_and_trained_biases():
     )
 
 
-def test_sp_rejects_fused(tmp_path):
+def test_sp_fused_stack_logits_and_grads_match_xla():
+    """VERDICT r1 item 3: the fused Pallas kernel (with its in-kernel halo
+    mask) runs per time shard — logits AND grads match the XLA SP path on
+    nonzero (trained-regime) biases, with and without tapcat."""
+    from lb_wavenet_tpu.parallel.halo import sequence_parallel_loss
+
+    params, x, mesh = _setup()
+    params = jax.tree_util.tree_map(
+        lambda a: a
+        + 0.1 * jax.random.normal(jax.random.key(a.size % 997), a.shape),
+        params,
+    )
+    ref = jax.jit(lambda p, x: forward(p, MICRO, x))(params, x)
+    for tapcat in (False, True):
+        sp = jax.jit(
+            lambda p, x: sequence_parallel_logits(
+                p, MICRO, x, mesh, fused_stack=True, tapcat=tapcat
+            )
+        )(params, x)
+        np.testing.assert_allclose(
+            np.asarray(sp), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    tgt = jax.random.randint(jax.random.key(2), x.shape, 0, 256)
+    msk = np.ones(x.shape, np.float32)
+
+    def lf(p, fused):
+        return sequence_parallel_loss(
+            p, MICRO, x, tgt, msk, mesh, fused_stack=fused
+        )
+
+    l_x, g_x = jax.jit(jax.value_and_grad(lambda p: lf(p, False)))(params)
+    l_f, g_f = jax.jit(jax.value_and_grad(lambda p: lf(p, True)))(params)
+    np.testing.assert_allclose(float(l_x), float(l_f), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        g_x,
+        g_f,
+    )
+
+
+def test_sp_fused_train_step_matches_windowed_fused_step():
+    """SP + fused_stack + tapcat == one windowed fused step (same init/batch)."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.data import make_batches, synthetic_corpus
+    from lb_wavenet_tpu.parallel.mesh import shard_params
+    from lb_wavenet_tpu.train import (
+        batch_to_device,
+        init_state,
+        make_sp_train_step,
+        seq_batch_to_device,
+        train_step,
+    )
+
+    window = 49  # T = 15 + 49 = 64; 16-sample chunks >= halo 15
+    train = TrainConfig(
+        batch_size=2, window_size=window, learning_rate=1e-3,
+        mesh_data=4, seq_parallel=True, fused_stack=True, tapcat=True,
+    )
+    corpus = synthetic_corpus(MICRO, window, n_files=2, file_len=300)
+    batch = next(make_batches(corpus, train))
+
+    mesh_sp = make_mesh(4, 1, devices=jax.devices()[:4])
+    mesh_1 = make_mesh(1, 1, devices=jax.devices()[:1])
+
+    s_sp = shard_params(init_state(jax.random.key(0), MICRO, train), mesh_sp)
+    s_ref = shard_params(init_state(jax.random.key(0), MICRO, train), mesh_1)
+
+    sp_step = make_sp_train_step(mesh_sp, MICRO, train)
+    s_sp, loss_sp = sp_step(
+        s_sp, seq_batch_to_device(batch, mesh_sp, window)
+    )
+    s_ref, loss_ref = train_step(
+        s_ref, batch_to_device(batch, mesh_1, MICRO), MICRO, train
+    )
+    assert np.allclose(float(loss_sp), float(loss_ref), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6
+        ),
+        s_sp.params,
+        s_ref.params,
+    )
+
+
+def test_sp_grad_accum_matches_one_shot():
+    """SP grad_accum (batch-row microbatches over sharded time) == the
+    unaccumulated SP step: same loss, same updated params."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.data import make_batches, synthetic_corpus
+    from lb_wavenet_tpu.parallel.mesh import shard_params
+    from lb_wavenet_tpu.train import (
+        init_state, make_sp_train_step, seq_batch_to_device,
+    )
+
+    window = 49
+    kw = dict(batch_size=4, window_size=window, learning_rate=1e-3,
+              mesh_data=4, seq_parallel=True, fused_stack=True)
+    train_1 = TrainConfig(**kw)
+    train_k = TrainConfig(grad_accum=2, **kw)
+    corpus = synthetic_corpus(MICRO, window, n_files=2, file_len=400)
+    batch = next(make_batches(corpus, train_1))
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    s_1 = shard_params(init_state(jax.random.key(0), MICRO, train_1), mesh)
+    s_k = shard_params(init_state(jax.random.key(0), MICRO, train_k), mesh)
+
+    dev_batch = seq_batch_to_device(batch, mesh, window)
+    s_1, loss_1 = make_sp_train_step(mesh, MICRO, train_1)(s_1, dev_batch)
+    dev_batch = seq_batch_to_device(batch, mesh, window)
+    s_k, loss_k = make_sp_train_step(mesh, MICRO, train_k)(s_k, dev_batch)
+
+    np.testing.assert_allclose(float(loss_1), float(loss_k), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        s_1.params,
+        s_k.params,
+    )
+
+
+def test_sp_run_training_fused_accum_end_to_end(tmp_path):
+    """Production-speed SP through run_training: seq_parallel + fused_stack
+    + tapcat + grad_accum trains and the loss stays finite/decreasing."""
     from lb_wavenet_tpu.config import Config
     from lb_wavenet_tpu.data import synthetic_corpus
     from lb_wavenet_tpu.train import run_training
 
-    fused = Config.from_dict(
+    cfg = Config.from_dict(
         {
             "arch": {
                 "n_blocks": 1, "n_layers_per_block": 3,
@@ -342,17 +468,13 @@ def test_sp_rejects_fused(tmp_path):
                 "gate_channels": 8, "compute_dtype": "float32",
             },
             "train": {
-                "batch_size": 2, "window_size": 32, "n_steps": 1,
+                "batch_size": 4, "window_size": 41, "n_steps": 3,
                 "mesh_data": 4, "seq_parallel": True, "fused_stack": True,
+                "tapcat": True, "grad_accum": 2, "learning_rate": 1e-3,
                 "checkpoint_dir": str(tmp_path / "ckpt"),
             },
         }
     )
-    corpus = synthetic_corpus(fused.arch, 32, n_files=1, file_len=200)
-    with pytest.raises(ValueError, match="fused_stack"):
-        run_training(fused, corpus=corpus)
-    accum = fused.override(
-        {"train.fused_stack": False, "train.grad_accum": 2}
-    )
-    with pytest.raises(ValueError, match="grad_accum"):
-        run_training(accum, corpus=corpus)
+    corpus = synthetic_corpus(cfg.arch, 41, n_files=2, file_len=300)
+    state = run_training(cfg, corpus=corpus)
+    assert int(state.step) == 3
