@@ -714,6 +714,9 @@ def cmd_serve(args) -> int:
         params, cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
         engine=engine, chunk_size=chunk,
         temperature=cfg.gen.temperature,
+        # Double-buffered: chunk t+1 dispatches while the host delivers
+        # chunk t (bit-identical output, lower wall time).
+        pipeline=True,
     )
     os.makedirs(cfg.gen.out_dir, exist_ok=True)
 
@@ -760,6 +763,104 @@ def cmd_serve(args) -> int:
         "batch": cfg.gen.batch_size,
         "chunk": chunk,
         "out_dir": cfg.gen.out_dir,
+    }))
+    return 0
+
+
+def cmd_warm(args) -> int:
+    """Precompile the configured executables into the persistent compile
+    cache (cold-start story: remote TPU compiles take seconds-to-minutes;
+    a deploy can run `wavenet warm --config prod.json` once — AOT
+    lower+compile, no data, no checkpoint, nothing executed — and every
+    later train/generate/serve start is a cache hit)."""
+    cfg = _load_config(args)
+    import time
+
+    import jax
+
+    from .generate import Stream, _generate_classes_jit, start_stream
+    from .models.wavenet import init_params
+    from .train import init_state, train_step
+
+    arch, train, gen = cfg.arch, cfg.train, cfg.gen
+    warmed = []
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        warmed.append({"target": name, "s": round(time.perf_counter() - t0, 1)})
+        print(json.dumps(warmed[-1]), flush=True)
+
+    f32 = jax.ShapeDtypeStruct
+    key_s = jax.eval_shape(lambda: jax.random.key(0))
+    params_s = jax.eval_shape(
+        lambda: init_params(jax.random.key(0), arch)
+    )
+
+    # Training step at the configured batch/window (incl. fused/accum/SP
+    # knobs — they are static fields of `train`, so the traced executable
+    # is exactly the production one).
+    if not args.skip_train:
+        state_s = jax.eval_shape(
+            lambda: init_state(jax.random.key(0), arch, train)
+        )
+        b, w = train.batch_size, train.window_size
+        t_in = arch.receptive_field - 1 + w
+        import numpy as np
+
+        batch_s = {
+            "inputs": f32((b, t_in), np.int32),
+            "targets": f32((b, w), np.int32),
+            "mask": f32((b, w), np.float32),
+        }
+        if arch.use_local_cond:
+            batch_s["mel"] = f32(
+                (b, -(-t_in // arch.hop_size), arch.n_mels), np.float32
+            )
+        if arch.use_global_cond:
+            batch_s["speaker"] = f32((b,), np.int32)
+        timed(
+            "train_step",
+            lambda: train_step.lower(state_s, batch_s, arch, train).compile(),
+        )
+
+    # One-shot generation at the configured gen shape/engine.
+    engine = gen.engine or ("pallas" if gen.use_pallas else "xla")
+    if not args.skip_generate:
+        timed(
+            f"generate[{engine}]",
+            lambda: _generate_classes_jit.lower(
+                params_s, arch, key_s, gen.batch_size, gen.n_samples,
+                None, None, None, gen.temperature, False, False, engine,
+                mega_vmem_d=1, mega_pad_test=1,
+            ).compile(),
+        )
+
+    # Streaming/serving step at --stream-chunk (covers `wavenet serve` and
+    # `generate --stream-chunk`; reset_lanes compiles in milliseconds at
+    # first use, so the chunk step is the whole cold-start).
+    if args.stream_chunk:
+        from .generate import padded_stream_batch, stream_chunk
+
+        device_b = padded_stream_batch(gen.batch_size, engine)
+        stream_s = jax.eval_shape(
+            lambda p: start_stream(
+                arch, device_b, jax.random.key(0), engine=engine, params=p
+            ),
+            params_s,
+        )
+        timed(
+            f"stream_chunk[{engine}]x{args.stream_chunk}",
+            lambda: stream_chunk.lower(
+                params_s, arch, stream_s, int(args.stream_chunk),
+                temperature=gen.temperature, engine=engine,
+            ).compile(),
+        )
+
+    print(json.dumps({
+        "warmed": warmed,
+        "cache_dir": jax.config.jax_compilation_cache_dir,
+        "backend": jax.default_backend(),
     }))
     return 0
 
@@ -870,6 +971,18 @@ def main(argv=None) -> int:
         "--stream-chunk", default=0, type=int,
         help="samples emitted per pool step (default 1024)",
     )
+    p_warm = sub.add_parser(
+        "warm",
+        help="precompile the configured executables into the persistent "
+        "compile cache (deploy-time cold-start elimination)",
+    )
+    _add_common(p_warm)
+    p_warm.add_argument("--skip-train", action="store_true")
+    p_warm.add_argument("--skip-generate", action="store_true")
+    p_warm.add_argument(
+        "--stream-chunk", default=0, type=int,
+        help="also warm the streaming/serving chunk step at this size",
+    )
     p_export = sub.add_parser(
         "export", help="export an AOT serving artifact (jax.export)"
     )
@@ -892,6 +1005,7 @@ def main(argv=None) -> int:
         "info": cmd_info,
         "export": cmd_export,
         "serve": cmd_serve,
+        "warm": cmd_warm,
     }[args.cmd](args)
 
 

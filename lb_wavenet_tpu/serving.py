@@ -74,6 +74,7 @@ class SessionPool:
         engine: str = "mega",
         chunk_size: int = 1024,
         temperature: float = 1.0,
+        pipeline: bool = False,
     ):
         self.params = params
         self.arch = arch
@@ -81,6 +82,15 @@ class SessionPool:
         self.engine = engine
         self.chunk_size = chunk_size
         self.temperature = temperature
+        # pipeline=True double-buffers step(): chunk t+1 is DISPATCHED
+        # (async) before chunk t's classes are fetched to the host, so the
+        # device computes while the host delivers — step() then returns the
+        # PREVIOUS dispatch's results ({} on the first call). The device-
+        # side program order (resets, chunks) is identical to the serial
+        # mode, so every request's audio is bit-identical; only delivery
+        # timing shifts by one chunk.
+        self.pipeline = pipeline
+        self._inflight: Optional[tuple] = None
         # The device session is auto-padded to the engine's lane multiple
         # (mega: 128 on TPU) so the fastest engine serves ANY pool size;
         # pad lanes are permanently free-running throwaways, never leased.
@@ -97,7 +107,10 @@ class SessionPool:
 
     @property
     def active(self) -> bool:
-        return any(lease is not None for lease in self._lanes)
+        return (
+            any(lease is not None for lease in self._lanes)
+            or self._inflight is not None
+        )
 
     def free_lanes(self) -> int:
         return sum(lease is None for lease in self._lanes)
@@ -132,9 +145,27 @@ class SessionPool:
     # -- the serving step ------------------------------------------------
 
     def step(self) -> Dict[object, tuple]:
-        """Advance every lane one chunk; returns {request_id: (classes,
-        done)} for leased lanes, where classes is the request's next
-        (<= chunk_size,) int32 slice (trimmed to its remaining length)."""
+        """Advance the pool one chunk; returns {request_id: (classes,
+        done)} where classes is a request's next (<= chunk_size,) int32
+        slice (trimmed to its remaining length).
+
+        Serial mode: dispatches one chunk and delivers it. Pipeline mode:
+        dispatches the next chunk FIRST (async), then delivers the chunk
+        dispatched by the previous call — the first call returns {}."""
+        if not self.pipeline:
+            return self._deliver(self._dispatch())
+        prev = self._inflight
+        self._inflight = (
+            self._dispatch()
+            if any(lease is not None for lease in self._lanes) else None
+        )
+        return self._deliver(prev) if prev is not None else {}
+
+    def _dispatch(self) -> tuple:
+        """Apply pending resets and launch one chunk for the current
+        leases (async); lease bookkeeping advances NOW (a finished lane is
+        reusable from the next dispatch), returning (device classes,
+        delivery metadata)."""
         if self._pending_reset.any():
             self.stream = reset_lanes(
                 self.params, self.arch, self.stream,
@@ -177,9 +208,8 @@ class SessionPool:
             cond=cond, speaker_ids=speaker_ids,
             temperature=self.temperature, engine=self.engine,
         )
-        classes = np.asarray(classes)
 
-        out: Dict[object, tuple] = {}
+        meta = []
         for i, lease in enumerate(self._lanes):
             if lease is None:
                 continue
@@ -188,7 +218,7 @@ class SessionPool:
             lease.emitted += n
             lease.t_local += self.chunk_size
             done = lease.remaining == 0
-            out[lease.request_id] = (classes[i, :n], done)
+            meta.append((i, lease.request_id, n, done))
             if done:
                 self._lanes[i] = None
                 self._pending_reset[i] = True
@@ -197,4 +227,13 @@ class SessionPool:
         # lease landing on a never-used lane after this point MUST reset it
         # or it would inherit free-run ring history (silently corrupt audio).
         self._fresh[:] = False
-        return out
+        return classes, meta
+
+    @staticmethod
+    def _deliver(inflight: tuple) -> Dict[object, tuple]:
+        """Fetch a dispatched chunk to the host and slice per request."""
+        classes_dev, meta = inflight
+        classes = np.asarray(classes_dev)
+        return {
+            rid: (classes[i, :n], done) for i, rid, n, done in meta
+        }

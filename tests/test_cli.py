@@ -555,3 +555,32 @@ def test_cli_streaming_mega_auto_pads_odd_batch(tmp_path, monkeypatch):
     assert r.returncode == 0, r.stdout + r.stderr
     assert '"padded_session_batch": 4' in r.stdout
     assert len(os.listdir(outdir)) == 3
+
+
+def test_cli_warm_precompiles(tmp_path):
+    """wavenet warm: AOT lower+compile of the configured executables into
+    the persistent cache — no data, no checkpoint, cache entries written."""
+    env_cache = tmp_path / "jaxcache"
+    import subprocess as sp
+
+    env = dict(os.environ, WAVENET_PLATFORM="cpu",
+               WAVENET_COMPILE_CACHE=str(env_cache))
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8",
+        "--set", 'arch.compute_dtype="float32"',
+        "--set", "train.batch_size=2", "--set", "train.window_size=32",
+        "--set", "gen.batch_size=2", "--set", "gen.n_samples=16",
+    ]
+    r = sp.run(
+        [sys.executable, "-m", "lb_wavenet_tpu.cli", "warm", *tiny,
+         "--stream-chunk", "8"],
+        capture_output=True, text=True, env=env, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    out = json.loads(r.stdout.splitlines()[-1])
+    targets = {w["target"] for w in out["warmed"]}
+    assert targets == {"train_step", "generate[xla]", "stream_chunk[xla]x8"}
+    assert env_cache.exists() and len(os.listdir(env_cache)) >= 1

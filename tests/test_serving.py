@@ -262,3 +262,43 @@ def test_pool_mega_any_batch_auto_pads(monkeypatch):
         ref = _dedicated(params, arch, n)
         np.testing.assert_array_equal(seq, ref, err_msg=rid)
         assert len(seq) == n
+
+
+def test_pipelined_pool_bit_matches_serial():
+    """pipeline=True double-buffers dispatch/delivery (VERDICT r1 item 10):
+    the device-side program order is unchanged, so every request's audio is
+    bit-identical to the serial pool AND to a dedicated session — including
+    requests landing on recycled lanes one dispatch early."""
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+
+    def run(pipeline):
+        pool = SessionPool(params, arch, batch=2, rng=jax.random.key(1),
+                           engine="xla", chunk_size=CHUNK, temperature=0.0,
+                           pipeline=pipeline)
+        assert pool.submit("a", n_samples=3 * CHUNK)
+        assert pool.submit("b", n_samples=CHUNK + 3)
+        got = {}
+        submitted_c = False
+        for _ in range(200):
+            if not pool.active and submitted_c:
+                break
+            for rid, (cls, fin) in pool.step().items():
+                got.setdefault(rid, []).append(cls)
+            if not submitted_c and pool.free_lanes() > 0:
+                submitted_c = pool.submit("c", n_samples=2 * CHUNK)
+        assert not pool.active
+        return {rid: np.concatenate(v) for rid, v in got.items()}
+
+    serial = run(False)
+    piped = run(True)
+    assert set(serial) == set(piped) == {"a", "b", "c"}
+    for rid, n in [("a", 3 * CHUNK), ("b", CHUNK + 3), ("c", 2 * CHUNK)]:
+        assert len(piped[rid]) == n, rid
+        np.testing.assert_array_equal(piped[rid], serial[rid], err_msg=rid)
+        np.testing.assert_array_equal(
+            piped[rid], _dedicated(params, arch, n), err_msg=rid
+        )
