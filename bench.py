@@ -155,6 +155,15 @@ def main() -> int:
         stream = start_stream(
             arch, batch, jax.random.key(1), engine=engine, params=params
         )
+        # BENCH_PERLANE=1: per-lane counter-hash sampling (the serving
+        # reproducibility tier) — measures its cost vs the session-global
+        # chain on the same streaming loop.
+        lane_kw = {}
+        if os.environ.get("BENCH_PERLANE", "") == "1":
+            lane_kw = dict(
+                lane_seed=jax.numpy.arange(batch, dtype=jax.numpy.int32),
+                lane_t0=jax.numpy.zeros(batch, jax.numpy.int32),
+            )
         total = jax.numpy.zeros((), jax.numpy.int64)
         last = None
         for i in range(n // stream_chunk_n):
@@ -165,7 +174,7 @@ def main() -> int:
                 assert cond_c.shape[1] == stream_chunk_n
             classes, stream = stream_chunk(
                 params, arch, stream, stream_chunk_n, cond=cond_c,
-                temperature=1.0, engine=engine,
+                temperature=1.0, engine=engine, **lane_kw,
             )
             total = total + classes.astype(jax.numpy.int64).sum()
             last = classes
@@ -274,9 +283,15 @@ def _train_mode() -> int:
     n_steps = int(os.environ.get("BENCH_STEPS", "8"))
     if n_steps <= 0:
         raise SystemExit(f"BENCH_STEPS must be positive, got {n_steps}")
+    # BENCH_SP=1: the sequence-parallel train step (production recipe —
+    # fused kernel with in-kernel halo mask + tapcat + grad_accum) on a
+    # single-chip mesh: measures the SP formulation's per-chip cost vs the
+    # windowed step (the multi-chip halo ppermute adds only the R-1-sample
+    # neighbor exchange on top).
+    sp = os.environ.get("BENCH_SP", "") == "1"
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=True, tapcat=True,
-        grad_accum=accum,
+        grad_accum=accum, seq_parallel=sp,
     )
     state = init_state(jax.random.key(0), arch, train)
     r = arch.receptive_field
@@ -286,16 +301,34 @@ def _train_mode() -> int:
     tgt = jax.random.randint(
         jax.random.key(2), (batch, window), 0, arch.quant_channels
     ).astype(np.int32)
-    b = {
-        "inputs": x, "targets": tgt,
-        "mask": jax.numpy.ones((batch, window), np.float32),
-    }
+    if sp:
+        from lb_wavenet_tpu.data import Batch
+        from lb_wavenet_tpu.parallel.mesh import make_mesh
+        from lb_wavenet_tpu.train import make_sp_train_step, seq_batch_to_device
+
+        mesh = make_mesh(1, 1)
+        sp_step = make_sp_train_step(mesh, arch, train)
+        b = seq_batch_to_device(
+            Batch(
+                inputs=np.asarray(x), targets=np.asarray(tgt),
+                mask=np.ones((batch, window), np.float32),
+            ),
+            mesh, window,
+        )
+    else:
+        b = {
+            "inputs": x, "targets": tgt,
+            "mask": jax.numpy.ones((batch, window), np.float32),
+        }
 
     def run(k):
         nonlocal state
         t0 = time.perf_counter()
         for _ in range(k):
-            state, loss = train_step(state, b, arch, train)
+            if sp:
+                state, loss = sp_step(state, b)
+            else:
+                state, loss = train_step(state, b, arch, train)
         np.asarray(loss)  # scalar sync (block_until_ready unreliable on axon)
         return time.perf_counter() - t0, loss
 
@@ -312,9 +345,9 @@ def _train_mode() -> int:
         t_long = min(t_long, dt)
     best = max(t_long - t_short, 1e-9) / n_steps
     value = batch * window / best
-    default_shape = (batch, window, accum) == (32, 6144, 4)
+    default_shape = (batch, window, accum) == (32, 6144, 4) and not sp
     print(json.dumps({
-        "metric": "train_throughput",
+        "metric": "sp_train_throughput" if sp else "train_throughput",
         "value": round(value, 1),
         "unit": "samples/sec/chip",
         "vs_baseline": (

@@ -159,6 +159,58 @@ def _sample_class(rng, logits, temperature: float):
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-lane counter-based sampling (serving reproducibility tier).
+#
+# The default sampling chain is SESSION-GLOBAL (one key/seed per step for the
+# whole batch): fast, but a recycled serving lane draws different randomness
+# than a dedicated session would, so *sampled* requests are not reproducible
+# (greedy ones are — reset_lanes docstring). Per-lane mode replaces the noise
+# source with a stateless counter hash over (lane_seed[b], t_local, class):
+# a lane's sampled stream depends on nothing else — not the batch width, not
+# the lane position, not the platform PRNG — so a pooled request bit-matches
+# a dedicated session started with the same per-lane seed (and CPU == TPU).
+# The hash below and the mega kernel's _perlane_bits are THE SAME function;
+# tests pin the bit-equality.
+
+_PL_T = 0x9E3779B9   # mixing constants (uint32, golden-ratio / murmur3)
+_PL_Q = 0x7FEB352D
+
+
+def _perlane_mix(x):
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
+def perlane_gumbel(lane_seed, t_local, q: int):
+    """(B, Q) Gumbel noise from the per-lane counter hash (batch-major)."""
+    s = lane_seed.astype(jnp.uint32)[:, None]
+    tl = t_local.astype(jnp.uint32)[:, None]
+    qi = jax.lax.broadcasted_iota(
+        jnp.uint32, (lane_seed.shape[0], q), 1
+    )
+    x = _perlane_mix(
+        s + tl * jnp.uint32(_PL_T) + qi * jnp.uint32(_PL_Q)
+    )
+    u = (
+        jax.lax.shift_right_logical(x, jnp.uint32(8)).astype(jnp.float32)
+        + 0.5
+    ) * (1.0 / (1 << 24))
+    return -jnp.log(-jnp.log(u))
+
+
+def _sample_class_perlane(logits, temperature: float, lane_seed, t_local):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scores = logits * (1.0 / temperature) + perlane_gumbel(
+        lane_seed, t_local, logits.shape[-1]
+    )
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
 def generate_classes(
     params: Params,
     arch: ArchConfig,
@@ -282,12 +334,18 @@ def _run_scan_engine(
     temperature: float,
     return_logits: bool,
     engine: str,
+    lane_seed=None,
+    lane_t0=None,
 ):
     """Scan n_samples steps from `state` at absolute time offset t0.
 
     Shared by one-shot generation (t0 = 0, fresh state) and streaming
     chunks (carried state): the ring-slot phase (t mod d) and the RNG chain
     both continue exactly, so chunked output bit-matches one-shot output.
+
+    lane_seed/lane_t0 (B,) int32 switch sampling to the per-lane counter
+    hash (serving reproducibility — see perlane_gumbel); the carried rng
+    chain is then untouched.
     """
     step_fn = _resolve_step_fn(engine)
     cond_ts = None
@@ -298,14 +356,23 @@ def _run_scan_engine(
         if forced is not None
         else None
     )
+    per_lane = lane_seed is not None
 
     def body(state: RingState, inp):
         t, cond_t, forced_t = inp
-        rng, key = jax.random.split(state.rng)
+        if per_lane:
+            rng, key = state.rng, None
+        else:
+            rng, key = jax.random.split(state.rng)
         new_embed, new_bufs, logits = step_fn(
             params, arch, state, t, state.prev_class, cond_t=cond_t, gcond=gcond
         )
-        cls = _sample_class(key, logits, temperature)
+        if per_lane:
+            cls = _sample_class_perlane(
+                logits, temperature, lane_seed, t - lane_t0
+            )
+        else:
+            cls = _sample_class(key, logits, temperature)
         if forced_t is not None:
             cls = jnp.where(forced_t >= 0, forced_t, cls)
         new_state = RingState(new_embed, new_bufs, cls, rng)
@@ -591,6 +658,8 @@ def stream_chunk(
     temperature: float = 1.0,
     engine: str = "xla",
     return_logits: bool = False,
+    lane_seed: Optional[jnp.ndarray] = None,  # (B,) int32 per-lane seeds
+    lane_t0: Optional[jnp.ndarray] = None,    # (B,) int32 lane lease times
 ):
     """Emit the next chunk_size samples and the advanced stream.
 
@@ -620,6 +689,8 @@ def stream_chunk(
             f"stream_chunk forced must be (B, {chunk_size}), got "
             f"{forced.shape}"
         )
+    if (lane_seed is None) != (lane_t0 is None):
+        raise ValueError("pass lane_seed and lane_t0 together")
     gcond = None
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]
@@ -627,13 +698,18 @@ def stream_chunk(
     if engine == "mega":
         return _mega_stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
-            temperature, return_logits,
+            temperature, return_logits, lane_seed, lane_t0,
         )
     if engine == "turbo":
         if return_logits:
             raise NotImplementedError(
                 "turbo samples in-kernel and emits no logits; use the "
                 "pallas engine for logit-level streaming"
+            )
+        if lane_seed is not None:
+            raise NotImplementedError(
+                "per-lane RNG covers the mega/xla/pallas engines; serve "
+                "with engine='mega' (any batch — sessions auto-pad)"
             )
         return _turbo_stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
@@ -643,6 +719,7 @@ def stream_chunk(
     new_state, out = _run_scan_engine(
         params, arch, stream.state, stream.t, chunk_size, cond, forced,
         gcond, temperature, return_logits, engine,
+        lane_seed=lane_seed, lane_t0=lane_t0,
     )
     new_stream = Stream(new_state, stream.t + jnp.int32(chunk_size))
     if return_logits:
@@ -722,6 +799,8 @@ def _mega_stream_chunk(
     forced,
     temperature: float,
     return_logits: bool,
+    lane_seed=None,
+    lane_t0=None,
 ):
     """One mega-engine chunk: the whole chunk in ONE pallas_call, carrying
     (ring buffer, staged pairs, frontend) between chunks. Ring-slot phase
@@ -749,13 +828,18 @@ def _mega_stream_chunk(
     else:
         forced_ts = jnp.swapaxes(forced, 0, 1).astype(jnp.int32)
 
+    lane = None
+    if lane_seed is not None:
+        lane = jnp.stack(
+            [lane_seed.astype(jnp.int32), lane_t0.astype(jnp.int32)]
+        )
     dummy_be = jnp.swapaxes(carry["h_s"], 0, 1)  # (B, C): shape source only
     out = mega_generate(
         params, lp, arch, dummy_be, dummy_be,
         stream.state["seed_base"],
         forced_ts[:, None, :], cond_ts, chunk_size, temperature, has_cond,
         interpret=interpret, emit_logits=return_logits,
-        streaming=True, carry=carry, t0=stream.t,
+        streaming=True, carry=carry, t0=stream.t, lane=lane,
     )
     if return_logits:
         classes, logits, new_carry = out

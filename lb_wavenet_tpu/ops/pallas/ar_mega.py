@@ -65,6 +65,10 @@ def _gumbel_bits(q, bsz, seed_scalar, use_hw_prng):
         + jax.lax.broadcasted_iota(jnp.uint32, (q, bsz), 1)
     )
     x = seed_scalar.astype(jnp.uint32) + ctr * jnp.uint32(0x9E3779B9)
+    return _mix32(x)
+
+
+def _mix32(x):
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
@@ -72,9 +76,27 @@ def _gumbel_bits(q, bsz, seed_scalar, use_hw_prng):
     return x ^ (x >> 16)
 
 
+def _perlane_bits(q, lane_ref, t_abs):
+    """uint32 bits, feature-major (Q, B), from the per-lane counter hash.
+
+    THE SAME function as generate.perlane_gumbel's bit stage (constants and
+    op order must stay in lockstep — the serving reproducibility contract
+    is that a lane's stream depends only on (lane_seed, t_local, class),
+    independent of batch width, lane position, engine internals, and the
+    platform PRNG). lane_ref is a (2, B) int32 VMEM block: row 0 the
+    per-lane seeds, row 1 the lane lease times (absolute sample index)."""
+    s = lane_ref[pl.ds(0, 1)].astype(jnp.uint32)             # (1, B)
+    tl = (t_abs - lane_ref[pl.ds(1, 1)]).astype(jnp.uint32)  # (1, B)
+    qi = jax.lax.broadcasted_iota(jnp.uint32, (q, s.shape[-1]), 0)
+    return _mix32(
+        s + tl * jnp.uint32(0x9E3779B9) + qi * jnp.uint32(0x7FEB352D)
+    )
+
+
 def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
                       use_hw_prng: bool, buf_dtype, emit_logits: bool = False,
-                      vmem_dmax: int = 1, streaming: bool = False):
+                      vmem_dmax: int = 1, streaming: bool = False,
+                      per_lane: bool = False):
     """vmem_dmax: layers with 1 < d <= vmem_dmax keep their ring in a VMEM
     scratch instead of HBM — their DMA machinery (issue + 2 semaphore waits
     per step) becomes two cheap VPU copies. d == 1 layers never have a ring
@@ -128,6 +150,11 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
             idx += 2
         else:
             cond_ref = wcond_ref = None
+        if per_lane:
+            lane_ref = refs[idx]
+            idx += 1
+        else:
+            lane_ref = None
         n_out = 2 + (1 if emit_logits else 0) + (3 if streaming else 0)
         outs = refs[idx:idx + n_out]
         idx += n_out
@@ -261,7 +288,10 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         if emit_logits:
             logits_ref[0] = logits
         if temperature > 0.0:
-            bits = _gumbel_bits(q, bsz, seed_ref[0] + t_abs, use_hw_prng)
+            if per_lane:
+                bits = _perlane_bits(q, lane_ref, t_abs)
+            else:
+                bits = _gumbel_bits(q, bsz, seed_ref[0] + t_abs, use_hw_prng)
             top24 = pltpu.bitcast(
                 jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
             )
@@ -332,6 +362,7 @@ def mega_generate(
     streaming: bool = False,
     carry: Optional[dict] = None,  # mega_zero_carry-shaped (streaming only)
     t0: Optional[jnp.ndarray] = None,  # () int32 absolute chunk start
+    lane: Optional[jnp.ndarray] = None,  # (2, B) int32 [seeds; lease times]
 ):
     """Run the whole generation loop; returns classes (T, 1, B) int32
     (plus logits (T, Q, B) when emit_logits — the correctness-test hook).
@@ -433,6 +464,9 @@ def mega_generate(
             whole((L, two_g, cc)),
         ]
         args += [tr(cond_ts), wcast(tr(lp["w_cond"]))]
+    if lane is not None:
+        in_specs.append(whole((2, b)))   # per-lane [seeds; lease times]
+        args.append(lane)
 
     # Layers with 1 < d <= vmem_dmax keep their rings in VMEM scratch (no
     # DMA). Measured NEUTRAL on v5e at wavenet30/B=512 (7-run cross-process
@@ -445,7 +479,7 @@ def mega_generate(
     kernel = _make_mega_kernel(
         arch, temperature, has_cond, use_hw_prng=not interpret,
         buf_dtype=buf_dtype, emit_logits=emit_logits, vmem_dmax=vmem_dmax,
-        streaming=streaming,
+        streaming=streaming, per_lane=lane is not None,
     )
     vring_scratch = (
         [pltpu.VMEM((vrows * c, b), buf_dtype)] if vrows > 0 else []

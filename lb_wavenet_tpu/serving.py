@@ -75,6 +75,7 @@ class SessionPool:
         chunk_size: int = 1024,
         temperature: float = 1.0,
         pipeline: bool = False,
+        per_lane_rng: bool = False,
     ):
         self.params = params
         self.arch = arch
@@ -91,10 +92,32 @@ class SessionPool:
         # timing shifts by one chunk.
         self.pipeline = pipeline
         self._inflight: Optional[tuple] = None
+        # per_lane_rng=True: sampling noise comes from a stateless counter
+        # hash over (lane_seed, lane-local time, class) instead of the
+        # session-global chain — a request's SAMPLED stream bit-matches a
+        # dedicated session opened with the same seed (generate.
+        # perlane_gumbel; engines: mega/xla/pallas). submit(seed=...) pins a
+        # request's seed; otherwise one is derived from the pool seed and a
+        # running request counter.
+        self.per_lane_rng = per_lane_rng
+        if per_lane_rng and engine == "turbo":
+            raise ValueError(
+                "per-lane RNG covers mega/xla/pallas; turbo serving pools "
+                "use the session-global chain (pick engine='mega')"
+            )
+        self._t_dispatched = 0
+        self._n_submitted = 0
+        self._pool_seed = int(
+            jax.random.randint(
+                jax.random.fold_in(rng, 0x5EED), (), 0, np.iinfo(np.int32).max
+            )
+        )
         # The device session is auto-padded to the engine's lane multiple
         # (mega: 128 on TPU) so the fastest engine serves ANY pool size;
         # pad lanes are permanently free-running throwaways, never leased.
         self._device_batch = padded_stream_batch(batch, engine)
+        self._lane_seed = np.zeros(self._device_batch, np.int32)
+        self._lane_t0 = np.zeros(self._device_batch, np.int32)
         self.stream = start_stream(arch, self._device_batch, rng,
                                    engine=engine, params=params)
         self._lanes: List[Optional[_Lease]] = [None] * batch
@@ -121,8 +144,14 @@ class SessionPool:
         n_samples: int,
         speaker: Optional[int] = None,
         cond_fn: Optional[Callable] = None,
+        seed: Optional[int] = None,
     ) -> bool:
-        """Lease a free lane to a request; False if the pool is full."""
+        """Lease a free lane to a request; False if the pool is full.
+
+        `seed` (per_lane_rng pools): the request's sampling seed — replay
+        the request on a dedicated session with the same seed for a
+        bit-identical sampled stream. Defaults to a deterministic
+        derivation from the pool seed and the submission index."""
         if n_samples <= 0:
             raise ValueError(f"n_samples must be positive, got {n_samples}")
         if speaker is not None and not self.arch.use_global_cond:
@@ -131,11 +160,23 @@ class SessionPool:
             raise ValueError(
                 "cond_fn must be passed iff the arch is mel-conditioned"
             )
+        if seed is not None and not self.per_lane_rng:
+            raise ValueError("submit(seed=...) needs per_lane_rng=True")
         for i, lease in enumerate(self._lanes):
             if lease is None:
                 self._lanes[i] = _Lease(
                     request_id, n_samples, speaker=speaker, cond_fn=cond_fn
                 )
+                if self.per_lane_rng:
+                    if seed is None:
+                        seed = (
+                            self._pool_seed
+                            + self._n_submitted * 0x9E3779B9
+                        ) & 0x7FFFFFFF
+                    self._lane_seed[i] = np.int32(seed & 0x7FFFFFFF)
+                    # Lane-local time starts at the NEXT dispatch.
+                    self._lane_t0[i] = self._t_dispatched
+                self._n_submitted += 1
                 if not self._fresh[i]:
                     self._pending_reset[i] = True
                 self._fresh[i] = False
@@ -203,11 +244,19 @@ class SessionPool:
                     slab[i, :n_need] = span
             cond = jnp.asarray(slab, jnp.dtype(self.arch.compute_dtype))
 
+        lane_kw = {}
+        if self.per_lane_rng:
+            lane_kw = dict(
+                lane_seed=jnp.asarray(self._lane_seed),
+                lane_t0=jnp.asarray(self._lane_t0),
+            )
         classes, self.stream = stream_chunk(
             self.params, self.arch, self.stream, self.chunk_size,
             cond=cond, speaker_ids=speaker_ids,
             temperature=self.temperature, engine=self.engine,
+            **lane_kw,
         )
+        self._t_dispatched += self.chunk_size
 
         meta = []
         for i, lease in enumerate(self._lanes):

@@ -128,3 +128,81 @@ def test_reset_then_prime_new_request(params):
     # Session B: fresh stream primed with the same chunk from t=0.
     fresh = _run(params, "xla", 2, forced_chunks=[prime])
     np.testing.assert_array_equal(out[2, CHUNK:], fresh[2])
+
+
+def test_per_lane_rng_sampled_reproducibility(params):
+    """VERDICT r1 item 7: per-lane counter-based RNG — a pooled request's
+    SAMPLED stream bit-matches a dedicated session opened with the same
+    seed, including requests on RECYCLED lanes, for the xla and mega
+    engines (the hash depends only on (seed, lane-local t, class): batch
+    width, lane position, and platform PRNG drop out)."""
+    from lb_wavenet_tpu.serving import SessionPool
+
+    arch = ARCH
+    CH = 16
+
+    def dedicated(engine, seed, n):
+        stream = start_stream(arch, 1, jax.random.key(77), engine=engine,
+                              params=params)
+        outs, t = [], 0
+        while t < n:
+            cls, stream = stream_chunk(
+                params, arch, stream, CH, temperature=1.0, engine=engine,
+                lane_seed=jnp.asarray([seed], jnp.int32),
+                lane_t0=jnp.zeros(1, jnp.int32),
+            )
+            outs.append(np.asarray(cls)[0])
+            t += CH
+        return np.concatenate(outs)[:n]
+
+    for engine in ("xla", "mega"):
+        pool = SessionPool(params, arch, batch=2, rng=jax.random.key(1),
+                           engine=engine, chunk_size=CH, temperature=1.0,
+                           per_lane_rng=True)
+        assert pool.submit("a", n_samples=3 * CH, seed=111)
+        assert pool.submit("b", n_samples=CH + 5, seed=222)
+        got = {}
+        submitted_c = False
+        for _ in range(60):
+            if not pool.active and submitted_c:
+                break
+            for rid, (cls, fin) in pool.step().items():
+                got.setdefault(rid, []).append(cls)
+            if not submitted_c and pool.free_lanes() > 0:
+                # Recycled lane, mid-session (nonzero lane_t0).
+                submitted_c = pool.submit("c", n_samples=2 * CH, seed=333)
+        assert not pool.active and submitted_c
+        out = {rid: np.concatenate(v) for rid, v in got.items()}
+        for rid, seed, n in [("a", 111, 3 * CH), ("b", 222, CH + 5),
+                             ("c", 333, 2 * CH)]:
+            assert len(out[rid]) == n, (engine, rid)
+            np.testing.assert_array_equal(
+                out[rid], dedicated(engine, seed, n),
+                err_msg=f"{engine}:{rid}",
+            )
+    # Cross-engine: same hash + fp32 logits -> identical sampled streams.
+    np.testing.assert_array_equal(
+        dedicated("xla", 999, 2 * CH), dedicated("mega", 999, 2 * CH)
+    )
+
+
+def test_per_lane_rng_streams_differ_by_seed(params):
+    """Different per-lane seeds give different sampled streams (sanity that
+    the hash actually injects noise) and identical seeds reproduce."""
+    lane_kw = dict(
+        lane_seed=jnp.asarray([5, 6], jnp.int32),
+        lane_t0=jnp.zeros(2, jnp.int32),
+    )
+    stream = start_stream(ARCH, 2, jax.random.key(3), engine="xla",
+                          params=params)
+    cls, _ = stream_chunk(
+        params, ARCH, stream, 64, temperature=1.0, engine="xla", **lane_kw
+    )
+    cls = np.asarray(cls)
+    assert (cls[0] != cls[1]).any()
+    stream2 = start_stream(ARCH, 2, jax.random.key(99), engine="xla",
+                           params=params)
+    cls2, _ = stream_chunk(
+        params, ARCH, stream2, 64, temperature=1.0, engine="xla", **lane_kw
+    )
+    np.testing.assert_array_equal(cls, np.asarray(cls2))  # rng key drops out
