@@ -210,7 +210,12 @@ class SessionPool:
         if self._pending_reset.any():
             self.stream = reset_lanes(
                 self.params, self.arch, self.stream,
-                jnp.asarray(self._pending_reset), engine=self.engine,
+                # .copy(): on the CPU backend jnp.asarray can ZERO-COPY
+                # alias numpy memory, and this host array is mutated below
+                # while the async dispatch may still be reading it — a real
+                # race (bit-flips in recycled lanes) first caught by the
+                # pipelined-pool test.
+                jnp.asarray(self._pending_reset.copy()), engine=self.engine,
             )
             self._pending_reset[:] = False
 
@@ -247,8 +252,10 @@ class SessionPool:
         lane_kw = {}
         if self.per_lane_rng:
             lane_kw = dict(
-                lane_seed=jnp.asarray(self._lane_seed),
-                lane_t0=jnp.asarray(self._lane_t0),
+                # .copy(): same zero-copy aliasing hazard as the reset mask
+                # (these are mutated at submit() while a dispatch is live).
+                lane_seed=jnp.asarray(self._lane_seed.copy()),
+                lane_t0=jnp.asarray(self._lane_t0.copy()),
             )
         classes, self.stream = stream_chunk(
             self.params, self.arch, self.stream, self.chunk_size,
