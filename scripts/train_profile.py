@@ -1,0 +1,112 @@
+"""Capture + summarize an xplane profile of the fused training step.
+
+VERDICT r1 item 2: back the training-throughput bound with a profile, not
+prose. Captures jax.profiler traces around fused train steps at the
+production shape, then (if the device plane is present — the axon relay
+may only expose host-side planes) aggregates per-op self time from the
+xplane via tensorboard_plugin_profile.
+
+    python scripts/train_profile.py   # TP_BATCH/TP_WINDOW/TP_STEPS/TP_DIR
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def summarize_xplane(xplane_path: str, top: int = 25) -> dict:
+    """Aggregate per-event self-time by plane from a raw .xplane.pb."""
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+    xspace = xplane_pb2.XSpace()
+    with open(xplane_path, "rb") as f:
+        xspace.ParseFromString(f.read())
+    planes = {}
+    for plane in xspace.planes:
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        totals = {}
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                totals[name] = totals.get(name, 0) + ev.duration_ps
+        if totals:
+            ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+            planes[plane.name] = [
+                {"op": k, "ms": round(v / 1e9, 3)} for k, v in ranked
+            ]
+    return planes
+
+
+def main() -> int:
+    import jax
+
+    plat = os.environ.get("WAVENET_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from bench import _WAVENET30
+    from lb_wavenet_tpu.config import ArchConfig, TrainConfig
+    from lb_wavenet_tpu.train import init_state, train_step
+    from lb_wavenet_tpu.utils.profiling import train_step_speed_of_light
+
+    arch = ArchConfig(**_WAVENET30)
+    batch = int(os.environ.get("TP_BATCH", "8"))
+    window = int(os.environ.get("TP_WINDOW", "6144"))
+    steps = int(os.environ.get("TP_STEPS", "6"))
+    out_dir = os.environ.get("TP_DIR", "/tmp/wavenet_train_profile")
+    train = TrainConfig(
+        batch_size=batch, window_size=window, fused_stack=True, tapcat=True
+    )
+    state = init_state(jax.random.key(0), arch, train)
+    r = arch.receptive_field
+    b = {
+        "inputs": jax.random.randint(
+            jax.random.key(1), (batch, r - 1 + window), 0,
+            arch.quant_channels,
+        ).astype(np.int32),
+        "targets": jax.random.randint(
+            jax.random.key(2), (batch, window), 0, arch.quant_channels
+        ).astype(np.int32),
+        "mask": jax.numpy.ones((batch, window), np.float32),
+    }
+    # Warm (compile) outside the trace.
+    state, loss = train_step(state, b, arch, train)
+    np.asarray(loss)
+
+    jax.profiler.start_trace(out_dir)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = train_step(state, b, arch, train)
+    np.asarray(loss)
+    wall = time.perf_counter() - t0
+    jax.profiler.stop_trace()
+
+    xplanes = sorted(glob.glob(
+        os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True
+    ))
+    planes = summarize_xplane(xplanes[-1]) if xplanes else {}
+    sol = train_step_speed_of_light(arch, batch, window, tapcat=True)
+    print(json.dumps({
+        "metric": "train_profile",
+        "step_ms_traced": round(1e3 * wall / steps, 2),
+        "samples_per_sec": round(batch * window * steps / wall, 1),
+        "sol_step_ms": round(sol["sol_step_ms"], 2),
+        "sol_bound": sol["bound"],
+        "xplane": xplanes[-1] if xplanes else None,
+        "planes_found": sorted(planes),
+        "per_plane_top_ops": planes,
+        "backend": jax.default_backend(),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
