@@ -247,6 +247,8 @@ def _generate_mesh(args, cfg, params, cond_frames, forced, speaker_ids) -> int:
         engine = "xla"
     elif not engine:
         engine = "mega" if shard_b % 128 == 0 else "turbo"
+        if cfg.gen.matmul_precision:
+            engine = "xla"  # the audit knob is XLA-engine-only
 
     cond = None
     if cond_frames is not None:
@@ -309,6 +311,15 @@ def cmd_generate(args) -> int:
     if cfg.gen.matmul_precision:
         # Audit mode: full-precision fp32 matmuls in the XLA engine recover
         # long-run cross-engine bit-match on TPU (GenConfig docstring).
+        # XLA engine only: the raised-precision context would inject
+        # contract_precision<fp32> into the Pallas kernels' bf16 matmuls,
+        # which Mosaic rejects (their contractions are already exact).
+        if (cfg.gen.engine or "xla") != "xla":
+            raise SystemExit(
+                "gen.matmul_precision is the XLA-engine audit knob; the "
+                "Pallas engines' contractions are already full-precision — "
+                'set gen.engine="xla" (scripts/audit_check.py)'
+            )
         jax.config.update(
             "jax_default_matmul_precision", cfg.gen.matmul_precision
         )
@@ -654,6 +665,11 @@ def cmd_serve(args) -> int:
     import numpy as np
 
     if cfg.gen.matmul_precision:
+        if cfg.gen.engine != "xla":  # serve defaults to mega
+            raise SystemExit(
+                "gen.matmul_precision is the XLA-engine audit knob; set "
+                'gen.engine="xla" (the Pallas engines are already exact)'
+            )
         jax.config.update(
             "jax_default_matmul_precision", cfg.gen.matmul_precision
         )

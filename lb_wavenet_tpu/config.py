@@ -144,12 +144,17 @@ class GenConfig:
     # AR engine: "xla" | "pallas" (bit-matches xla) | "turbo" | "mega"
     # (fastest; see ops/pallas/ar_mega.py). "" -> use_pallas legacy mapping.
     engine: str = ""
-    # Cross-engine AUDIT mode: "" keeps XLA's backend default ("default" on
-    # TPU = reduced-precision fp32 matmuls, the root cause of the ~150-step
-    # free-running drift vs the fp32-exact Pallas engines — ar_mega.py
-    # docstring). Set "highest" to run the XLA engine at full fp32 MXU
-    # precision and restore long-run cross-engine bit-match on TPU (slower;
-    # for auditing, not production). Values: "default"|"high"|"highest".
+    # XLA-engine AUDIT knob: run the xla engine under
+    # jax.default_matmul_precision(value) ("default"|"high"|"highest").
+    # Measured on-chip (scripts/audit_check.py, BASELINE.md): the
+    # bit-matching xla <-> pallas pair is ALREADY exact over 1000
+    # free-running sampled steps at default precision, and the xla <-> mega
+    # greedy divergence (t=168) is the mega kernel's merged-contraction
+    # accumulation order, which no precision flag undoes (ar_mega.py
+    # precision note) — so this knob matters only for fp32-compute archs
+    # where XLA's default fp32 matmul is reduced-precision. XLA engine
+    # only: the raised context would inject fp32 contract precision into
+    # the Pallas kernels' bf16 matmuls (Mosaic rejects it).
     matmul_precision: str = ""
 
 

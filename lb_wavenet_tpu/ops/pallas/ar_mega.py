@@ -33,14 +33,18 @@ engine.
 
 Precision note (measured on v5e, see BASELINE.md): at t=0 the mega logits are
 BIT-EXACT vs the XLA engine; over long autoregressive runs the streams drift
-apart (~1e-2 logit diff after 500 teacher-forced steps) because XLA's
-DEFAULT-precision fp32 TPU matmul is a reduced-precision bf16 pass while this
-kernel contracts in true fp32 with fp32 accumulation — the mega path is the
-MORE accurate one. Consequently free-running/greedy sequences eventually
-diverge between engines (first argmax flip ~t=170 on an untrained net); both
-are valid samples of the same model. Use the `pallas` engine when a stream
-must bit-match the XLA engine sample-for-sample; CPU interpret parity is
-exact (tests/test_pallas.py).
+apart (~1e-2 logit diff after 500 teacher-forced steps; first greedy argmax
+flip t=168 on an untrained net — scripts/audit_check.py). ROOT CAUSE
+(corrected round 2): the drift is the ACCUMULATION ORDER of this kernel's
+merged contractions — the K=2C tap concat fuses xc+xp into one MXU
+accumulation where the XLA engine rounds two separate matmuls before adding,
+and the res+skip output merge likewise — NOT XLA matmul precision: running
+the XLA engine under jax.default_matmul_precision("highest") leaves the
+divergence at exactly t=168. Fewer roundings per output, so the mega path is
+the (slightly) more accurate association; both are valid samples of the same
+model. The bit-matching tier is `pallas` ↔ `xla`: verified ON-CHIP bit-exact
+over 1000 free-running SAMPLED steps at default precision (B=128); CPU
+interpret parity is exact for all engines (tests/test_pallas.py).
 """
 from __future__ import annotations
 

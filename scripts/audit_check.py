@@ -50,26 +50,43 @@ def main() -> int:
     params = jax.device_put(init_params(jax.random.key(0), arch))
     rng = jax.random.key(7)
 
-    def pair():
-        xla = np.asarray(generate_classes(
-            params, arch, rng, batch, n, temperature=1.0, engine="xla"
+    def gen(engine, temperature):
+        return np.asarray(generate_classes(
+            params, arch, rng, batch, n, temperature=temperature,
+            engine=engine,
         ))
-        pls = np.asarray(generate_classes(
-            params, arch, rng, batch, n, temperature=1.0, engine="pallas"
-        ))
-        return first_mismatch(xla, pls)
 
     t0 = time.perf_counter()
-    drift_default = pair()
+    # Raising jax.default_matmul_precision around a Pallas kernel injects
+    # contract_precision<fp32> into its bf16 matmuls, which Mosaic rejects
+    # — so only the XLA engine runs under the raised-precision context
+    # (exactly what gen.matmul_precision does in the CLI); the Pallas
+    # engines always run at their own (exact-contraction) precision.
+    # Pair 1: xla vs pallas, SAMPLED (shared RNG chain).
+    pls = gen("pallas", 1.0)
+    xp_default = first_mismatch(gen("xla", 1.0), pls)
     with jax.default_matmul_precision("highest"):
-        drift_highest = pair()
+        xla_hi_sampled = gen("xla", 1.0)
+    xp_highest = first_mismatch(xla_hi_sampled, pls)
+    # Pair 2: xla vs mega, GREEDY (mega samples in-kernel, so only the
+    # deterministic stream is comparable) — the documented drifting pair
+    # (ar_mega.py precision note: first argmax flip ~t=170 at default).
+    mega = gen("mega", 0.0)
+    xm_default = first_mismatch(gen("xla", 0.0), mega)
+    with jax.default_matmul_precision("highest"):
+        xla_hi_greedy = gen("xla", 0.0)
+    xm_highest = first_mismatch(xla_hi_greedy, mega)
     wall = time.perf_counter() - t0
 
-    ok = drift_highest == -1
+    ok = xp_highest == -1
     print(json.dumps({
         "metric": "audit_mode_divergence_step",
-        "first_divergence_default": drift_default,
-        "first_divergence_highest": drift_highest,
+        "xla_vs_pallas_sampled": {
+            "default": xp_default, "highest": xp_highest,
+        },
+        "xla_vs_mega_greedy": {
+            "default": xm_default, "highest": xm_highest,
+        },
         "audit_bit_exact": ok,
         "batch": batch,
         "steps": n,
