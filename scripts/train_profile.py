@@ -21,7 +21,7 @@ import numpy as np
 
 def summarize_xplane(xplane_path: str, top: int = 25) -> dict:
     """Aggregate per-event self-time by plane from a raw .xplane.pb."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xspace = xplane_pb2.XSpace()
     with open(xplane_path, "rb") as f:
@@ -94,15 +94,39 @@ def main() -> int:
     ))
     planes = summarize_xplane(xplanes[-1]) if xplanes else {}
     sol = train_step_speed_of_light(arch, batch, window, tapcat=True)
+
+    # Per-step breakdown from the device plane: the two Pallas kernels are
+    # the tpu_custom_calls (transpose_jvp = backward, jvp = forward);
+    # everything else in the module time is the XLA tail (frontend, post
+    # network + loss fwd/bwd, Adam, weight staging copies).
+    breakdown = {}
+    dev = next((v for k, v in planes.items() if "TPU" in k), [])
+    step_ms = None
+    for item in dev:
+        ms = item["ms"] / steps
+        if item["op"].startswith("jit_"):
+            step_ms = ms
+        elif "transpose_jvp" in item["op"]:
+            breakdown["bwd_kernel_ms"] = round(ms, 2)
+        elif item["op"].startswith("%jvp"):
+            breakdown["fwd_kernel_ms"] = round(ms, 2)
+    if step_ms is not None:
+        breakdown["device_step_ms"] = round(step_ms, 2)
+        if "bwd_kernel_ms" in breakdown and "fwd_kernel_ms" in breakdown:
+            breakdown["xla_tail_ms"] = round(
+                step_ms - breakdown["bwd_kernel_ms"]
+                - breakdown["fwd_kernel_ms"], 2
+            )
+
     print(json.dumps({
         "metric": "train_profile",
         "step_ms_traced": round(1e3 * wall / steps, 2),
         "samples_per_sec": round(batch * window * steps / wall, 1),
         "sol_step_ms": round(sol["sol_step_ms"], 2),
         "sol_bound": sol["bound"],
+        "breakdown": breakdown,
         "xplane": xplanes[-1] if xplanes else None,
         "planes_found": sorted(planes),
-        "per_plane_top_ops": planes,
         "backend": jax.default_backend(),
     }))
     return 0
