@@ -730,9 +730,12 @@ def cmd_serve(args) -> int:
         params, cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
         engine=engine, chunk_size=chunk,
         temperature=cfg.gen.temperature,
-        # Double-buffered: chunk t+1 dispatches while the host delivers
-        # chunk t (bit-identical output, lower wall time).
-        pipeline=True,
+        # Double-buffered dispatch/delivery (bit-identical output). Opt-in:
+        # measured on THIS image's remote-TPU relay it p50-improves chunk
+        # latency (70 vs 91 ms) but head-of-line-blocks the D2H fetch behind
+        # queued compute with multi-second p99 stalls (BASELINE.md); on a
+        # directly-attached chip the overlap is the right default.
+        pipeline=args.pipeline,
     )
     os.makedirs(cfg.gen.out_dir, exist_ok=True)
 
@@ -986,6 +989,12 @@ def main(argv=None) -> int:
     p_serve.add_argument(
         "--stream-chunk", default=0, type=int,
         help="samples emitted per pool step (default 1024)",
+    )
+    p_serve.add_argument(
+        "--pipeline", action="store_true",
+        help="double-buffer the serving loop (dispatch chunk t+1 while "
+        "delivering chunk t; bit-identical output — see docs/serving.md "
+        "for when this wins)",
     )
     p_warm = sub.add_parser(
         "warm",
