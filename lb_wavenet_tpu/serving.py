@@ -11,10 +11,11 @@ sample); this is the build-side production counterpart.
 Design constraints that shape the code:
   * everything device-side stays fixed-shape (one compile): the pool
     always steps ALL lanes and discards idle lanes' output on the host;
-  * per-request sampled audio is independent but not bit-reproducible
-    against a dedicated session (the RNG chain is session-global — see
-    reset_lanes); greedy/teacher-forced output IS bit-identical, which is
-    what the tests pin;
+  * greedy/teacher-forced output is bit-identical to dedicated sessions
+    (tests pin it). Sampled output: the DEFAULT chain is session-global
+    (independent but not replayable — see reset_lanes); per_lane_rng=True
+    switches to the stateless per-lane counter hash so sampled requests
+    bit-match a dedicated session opened with the same submit(seed=...);
   * mel conditioning is per-chunk host data (cond cursors differ per
     lane), so the pool accepts a per-request `cond_fn(t0, n) -> (n, Cc)`
     callback and assembles the batch cond slab itself.
