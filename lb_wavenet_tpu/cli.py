@@ -309,12 +309,14 @@ def cmd_generate(args) -> int:
     import numpy as np
 
     if cfg.gen.matmul_precision:
-        # Audit mode: full-precision fp32 matmuls in the XLA engine recover
-        # long-run cross-engine bit-match on TPU (GenConfig docstring).
-        # XLA engine only: the raised-precision context would inject
+        # Audit mode: full-precision fp32 matmuls in the XLA engine (matters
+        # only for fp32-compute archs — GenConfig docstring). XLA engine
+        # only: the raised-precision context would inject
         # contract_precision<fp32> into the Pallas kernels' bf16 matmuls,
         # which Mosaic rejects (their contractions are already exact).
-        if (cfg.gen.engine or "xla") != "xla":
+        # Resolve the EFFECTIVE engine incl. the use_pallas legacy mapping:
+        # engine="" + use_pallas=true runs the pallas kernels.
+        if (cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "xla")) != "xla":
             raise SystemExit(
                 "gen.matmul_precision is the XLA-engine audit knob; the "
                 "Pallas engines' contractions are already full-precision — "
@@ -857,24 +859,31 @@ def cmd_warm(args) -> int:
 
     # Streaming/serving step at --stream-chunk (covers `wavenet serve` and
     # `generate --stream-chunk`; reset_lanes compiles in milliseconds at
-    # first use, so the chunk step is the whole cold-start).
+    # first use, so the chunk step is the whole cold-start). The two
+    # consumers resolve different DEFAULT engines — serve runs 'mega',
+    # generate --stream-chunk runs the xla/use_pallas ladder — so with
+    # gen.engine unset BOTH are warmed (an explicit gen.engine warms one).
     if args.stream_chunk:
         from .generate import padded_stream_batch, stream_chunk
 
-        device_b = padded_stream_batch(gen.batch_size, engine)
-        stream_s = jax.eval_shape(
-            lambda p: start_stream(
-                arch, device_b, jax.random.key(0), engine=engine, params=p
-            ),
-            params_s,
+        stream_engines = [gen.engine] if gen.engine else list(
+            dict.fromkeys(["mega", engine])
         )
-        timed(
-            f"stream_chunk[{engine}]x{args.stream_chunk}",
-            lambda: stream_chunk.lower(
-                params_s, arch, stream_s, int(args.stream_chunk),
-                temperature=gen.temperature, engine=engine,
-            ).compile(),
-        )
+        for s_eng in stream_engines:
+            device_b = padded_stream_batch(gen.batch_size, s_eng)
+            stream_s = jax.eval_shape(
+                lambda p, e=s_eng, b=device_b: start_stream(
+                    arch, b, jax.random.key(0), engine=e, params=p
+                ),
+                params_s,
+            )
+            timed(
+                f"stream_chunk[{s_eng}]x{args.stream_chunk}",
+                lambda e=s_eng, ss=stream_s: stream_chunk.lower(
+                    params_s, arch, ss, int(args.stream_chunk),
+                    temperature=gen.temperature, engine=e,
+                ).compile(),
+            )
 
     print(json.dumps({
         "warmed": warmed,

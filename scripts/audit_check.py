@@ -1,14 +1,19 @@
 """Cross-engine audit-mode check (VERDICT r1 item 9, BASELINE.md row).
 
-The xla and pallas engines share one sampling chain and bit-match on CPU
-for arbitrary lengths, but free-running TPU streams drift after ~150 steps
-at the DEFAULT matmul precision (XLA's fp32 matmuls are reduced-precision
-on TPU; the Pallas kernels' are exact — ops/pallas/ar_mega.py docstring).
-`gen.matmul_precision="highest"` is the audit knob that removes the drift.
+Measured ground truth (round 2, on-chip): the xla and pallas engines share
+one sampling chain and their free-running SAMPLED streams are BIT-EXACT for
+1000+ steps at DEFAULT matmul precision (and under "highest" — the knob
+changes nothing for bf16-compute archs, whose kernel contractions are
+already exact). The stream that DOES drift is xla ↔ mega GREEDY (first
+argmax flip t=168 on an untrained wavenet30): the cause is the mega
+kernel's merged-contraction accumulation order (K=2C tap concat and the
+res+skip output merge round fewer times than XLA's split matmuls), which
+`jax.default_matmul_precision("highest")` leaves UNCHANGED — so
+`gen.matmul_precision` matters only for fp32-compute archs, where XLA's
+default fp32 TPU matmul is a reduced-precision pass.
 
-This script measures the first divergence step of a free-running SAMPLED
-xla-vs-pallas pair at default precision, then re-runs both under
-jax.default_matmul_precision("highest") and asserts full agreement.
+This script measures both pairs' first divergence step at default
+precision and under "highest", asserting xla ↔ pallas stays exact.
 
     python scripts/audit_check.py        # AUDIT_BATCH / AUDIT_STEPS
 """

@@ -582,5 +582,11 @@ def test_cli_warm_precompiles(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     out = json.loads(r.stdout.splitlines()[-1])
     targets = {w["target"] for w in out["warmed"]}
-    assert targets == {"train_step", "generate[xla]", "stream_chunk[xla]x8"}
+    # gen.engine unset: the stream-chunk target warms BOTH consumers'
+    # defaults — `wavenet serve` (mega) and `generate --stream-chunk` (xla)
+    # — so a serve cold-start is a cache hit too (ADVICE r2).
+    assert targets == {
+        "train_step", "generate[xla]",
+        "stream_chunk[mega]x8", "stream_chunk[xla]x8",
+    }
     assert env_cache.exists() and len(os.listdir(env_cache)) >= 1

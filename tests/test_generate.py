@@ -332,9 +332,11 @@ def test_streaming_invariant_across_randomized_archs():
 def test_matmul_precision_audit_mode():
     """gen.matmul_precision plumbing (VERDICT r1 item 9): under
     jax.default_matmul_precision('highest') the XLA engine still bit-matches
-    the Pallas engine (on TPU this knob is what RESTORES long-run
-    cross-engine agreement — the default reduced-precision fp32 matmuls are
-    the documented ~150-step drift cause, ops/pallas/ar_mega.py)."""
+    the Pallas engine. (On-chip, xla <-> pallas is already bit-exact at
+    DEFAULT precision over 1000 free-running sampled steps; the knob only
+    matters for fp32-compute archs. The xla <-> mega greedy drift at t=168
+    is mega's merged-contraction accumulation order, which no precision
+    flag undoes — ops/pallas/ar_mega.py, scripts/audit_check.py.)"""
     params = _params()
     rng = jax.random.key(11)
     with jax.default_matmul_precision("highest"):
