@@ -155,15 +155,19 @@ def main() -> int:
         stream = start_stream(
             arch, batch, jax.random.key(1), engine=engine, params=params
         )
-        # BENCH_PERLANE=1: per-lane counter-hash sampling (the serving
-        # reproducibility tier) — measures its cost vs the session-global
-        # chain on the same streaming loop.
+        # Per-lane counter-hash sampling is the fused engines' DEFAULT now
+        # (cost-neutral on-chip, BASELINE.md round-2). BENCH_PERLANE=1
+        # passes EXPLICIT lane arrays (the serving-pool path);
+        # BENCH_GLOBAL_RNG=1 opts out to the session-global platform chain
+        # (the pre-round-3 default) for A/B.
         lane_kw = {}
         if os.environ.get("BENCH_PERLANE", "") == "1":
             lane_kw = dict(
                 lane_seed=jax.numpy.arange(batch, dtype=jax.numpy.int32),
                 lane_t0=jax.numpy.zeros(batch, jax.numpy.int32),
             )
+        if os.environ.get("BENCH_GLOBAL_RNG", "") == "1":
+            lane_kw["global_rng"] = True
         total = jax.numpy.zeros((), jax.numpy.int64)
         last = None
         for i in range(n // stream_chunk_n):
@@ -196,6 +200,7 @@ def main() -> int:
             cond=cond_full,
             temperature=1.0,
             engine=engine,
+            global_rng=os.environ.get("BENCH_GLOBAL_RNG", "") == "1",
         )
         # NOTE: on the axon remote backend block_until_ready() can return
         # before execution completes; a host materialization is the only
@@ -289,9 +294,14 @@ def _train_mode() -> int:
     # windowed step (the multi-chip halo ppermute adds only the R-1-sample
     # neighbor exchange on top).
     sp = os.environ.get("BENCH_SP", "") == "1"
+    # BENCH_FUSED_POST=0 reverts the post-network+CE to the XLA path (A/B
+    # for the round-3 fused post+loss kernel; SP keeps the XLA post).
+    fused_post = (
+        os.environ.get("BENCH_FUSED_POST", "1") == "1" and not sp
+    )
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=True, tapcat=True,
-        grad_accum=accum, seq_parallel=sp,
+        grad_accum=accum, seq_parallel=sp, fused_post=fused_post,
     )
     state = init_state(jax.random.key(0), arch, train)
     r = arch.receptive_field

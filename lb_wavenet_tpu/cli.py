@@ -272,6 +272,7 @@ def _generate_mesh(args, cfg, params, cond_frames, forced, speaker_ids) -> int:
         speaker_ids=speaker_ids,
         forced=forced,
         temperature=cfg.gen.temperature,
+        global_rng=cfg.gen.global_rng,
     )
 
     os.makedirs(cfg.gen.out_dir, exist_ok=True)
@@ -484,6 +485,7 @@ def cmd_generate(args) -> int:
                 ),
                 temperature=cfg.gen.temperature,
                 engine=eng,
+                global_rng=cfg.gen.global_rng,
             )
             classes = classes[: cfg.gen.batch_size]  # drop pad lanes
             parts.append(
@@ -506,6 +508,7 @@ def cmd_generate(args) -> int:
             temperature=cfg.gen.temperature,
             use_pallas=cfg.gen.use_pallas,
             engine=cfg.gen.engine or None,
+            global_rng=cfg.gen.global_rng,
         )
         wav_np = np.asarray(wav)  # also the reliable device sync on axon
 
@@ -682,12 +685,6 @@ def cmd_serve(args) -> int:
     from .train import init_state
     from .utils.checkpoint import restore_params
 
-    if cfg.arch.use_local_cond:
-        raise SystemExit(
-            "wavenet serve covers unconditioned/speaker archs; "
-            "mel-conditioned serving needs a per-request cond stream — use "
-            "serving.SessionPool with cond_fn (docs/serving.md)"
-        )
     template = init_state(jax.random.key(0), cfg.arch, cfg.train)
     params = restore_params(
         cfg.gen.checkpoint_dir, template, prefer_ema=args.ema
@@ -704,6 +701,7 @@ def cmd_serve(args) -> int:
             try:
                 r = json.loads(line)
                 rid, n = str(r["id"]), int(r["n_samples"])
+                seed = int(r["seed"]) if "seed" in r else None
             except (json.JSONDecodeError, KeyError, ValueError) as e:
                 raise SystemExit(f"{args.requests}:{ln}: {e}")
             if rid in seen:
@@ -720,9 +718,59 @@ def cmd_serve(args) -> int:
                     f"({safe}.wav)"
                 )
             seen_safe[safe] = rid
-            requests.append((rid, n, r.get("speaker")))
+            mel = r.get("mel")
+            if cfg.arch.use_local_cond and not mel:
+                raise SystemExit(
+                    f"{args.requests}:{ln}: mel-conditioned arch — each "
+                    'request needs "mel": "<frames.npy>" ((F, n_mels), '
+                    f"F * hop_size >= n_samples)"
+                )
+            if mel and not cfg.arch.use_local_cond:
+                raise SystemExit(
+                    f"{args.requests}:{ln}: request has mel but the arch "
+                    "is not mel-conditioned (arch.n_mels == 0)"
+                )
+            if seed is not None and cfg.gen.global_rng:
+                raise SystemExit(
+                    f"{args.requests}:{ln}: per-request seeds need the "
+                    "per-lane sampling default (gen.global_rng=false)"
+                )
+            requests.append((rid, n, r.get("speaker"), mel, seed))
     if not requests:
         raise SystemExit(f"{args.requests}: no requests")
+
+    def make_cond_fn(mel_path: str, n_samples: int, ln: str):
+        """Per-request conditioning: load (F, n_mels) frames, upsample ONCE
+        to sample rate (frame count bucketed so the upsampler compiles a
+        bounded set of shapes), and serve slices to the pool's cond_fn."""
+        import jax.numpy as jnp
+
+        from .models.conditioning import upsample_cond
+
+        frames = np.load(mel_path)
+        if frames.ndim != 2 or frames.shape[1] != cfg.arch.n_mels:
+            raise SystemExit(
+                f"{ln}: mel {mel_path} has shape {frames.shape}, expected "
+                f"(F, {cfg.arch.n_mels})"
+            )
+        hop = cfg.arch.hop_size
+        if frames.shape[0] * hop < n_samples:
+            raise SystemExit(
+                f"{ln}: mel {mel_path} covers {frames.shape[0] * hop} "
+                f"samples < n_samples={n_samples}"
+            )
+        f_bucket = -(-frames.shape[0] // 32) * 32
+        padded = np.zeros((1, f_bucket, cfg.arch.n_mels), np.float32)
+        padded[0, : frames.shape[0]] = frames
+        cond = np.asarray(upsample_cond(
+            params["upsampler"], cfg.arch, jnp.asarray(padded),
+            jnp.dtype(cfg.arch.compute_dtype),
+        )[0], np.float32)[: n_samples]
+
+        def cond_fn(t_local: int, n: int):
+            return cond[t_local : t_local + n]
+
+        return cond_fn
 
     chunk = args.stream_chunk or 1024
     # Mega serves ANY pool size now (SessionPool auto-pads the device
@@ -732,6 +780,9 @@ def cmd_serve(args) -> int:
         params, cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
         engine=engine, chunk_size=chunk,
         temperature=cfg.gen.temperature,
+        # Replayable per-request sampling is the default; gen.global_rng
+        # opts the pool out to the session-global chain.
+        per_lane_rng=not cfg.gen.global_rng,
         # Double-buffered dispatch/delivery (bit-identical output). Opt-in:
         # measured on THIS image's remote-TPU relay it p50-improves chunk
         # latency (70 vs 91 ms) but head-of-line-blocks the D2H fetch behind
@@ -743,14 +794,29 @@ def cmd_serve(args) -> int:
 
     next_req = 0
     parts: dict = {}
+    used_seed: dict = {}
 
     def fill():
         nonlocal next_req
         while next_req < len(requests):
-            rid, n, spk = requests[next_req]
-            if not pool.submit(rid, n, speaker=spk):
+            rid, n, spk, mel, seed = requests[next_req]
+            if seed is None and pool.per_lane_rng:
+                # Deterministic per-request seed, LOGGED on completion so
+                # any served request can be bit-replayed on a dedicated
+                # session (per-lane sampling contract, docs/serving.md).
+                seed = (
+                    cfg.gen.seed * 0x9E3779B1 + next_req
+                ) & 0x7FFFFFFF
+            cond_fn = (
+                make_cond_fn(mel, n, f"request {rid}") if mel else None
+            )
+            if not pool.submit(
+                rid, n, speaker=spk, cond_fn=cond_fn,
+                seed=seed if pool.per_lane_rng else None,
+            ):
                 break
             parts[rid] = []
+            used_seed[rid] = seed
             next_req += 1
 
     import time as _time
@@ -770,12 +836,13 @@ def cmd_serve(args) -> int:
                 path = os.path.join(cfg.gen.out_dir, f"{safe}.wav")
                 write_wav(path, wav, cfg.arch.sample_rate)
                 n_done += 1
-                print(json.dumps(
-                    {"done": rid, "n_samples": int(len(wav)), "wav": path}
-                ))
+                rec = {"done": rid, "n_samples": int(len(wav)), "wav": path}
+                if used_seed.get(rid) is not None:
+                    rec["seed"] = int(used_seed[rid])
+                print(json.dumps(rec))
         fill()
     wall = _time.perf_counter() - t0
-    total = sum(n for _, n, _ in requests)
+    total = sum(r[1] for r in requests)
     print(json.dumps({
         "served": n_done,
         "audio_sec": round(total / cfg.arch.sample_rate, 2),
@@ -853,7 +920,7 @@ def cmd_warm(args) -> int:
             lambda: _generate_classes_jit.lower(
                 params_s, arch, key_s, gen.batch_size, gen.n_samples,
                 None, None, None, gen.temperature, False, False, engine,
-                mega_vmem_d=1, mega_pad_test=1,
+                mega_vmem_d=1, mega_pad_test=1, global_rng=gen.global_rng,
             ).compile(),
         )
 
@@ -882,6 +949,7 @@ def cmd_warm(args) -> int:
                 lambda e=s_eng, ss=stream_s: stream_chunk.lower(
                     params_s, arch, ss, int(args.stream_chunk),
                     temperature=gen.temperature, engine=e,
+                    global_rng=gen.global_rng,
                 ).compile(),
             )
 
@@ -989,7 +1057,12 @@ def main(argv=None) -> int:
     _add_common(p_serve)
     p_serve.add_argument(
         "--requests", required=True,
-        help='JSONL of {"id": ..., "n_samples": N[, "speaker": S]} requests',
+        help='JSONL of {"id": ..., "n_samples": N[, "speaker": S]'
+        '[, "mel": "frames.npy"][, "seed": N]} requests; "mel" is required '
+        "per request on mel-conditioned archs ((F, n_mels) frames, F * "
+        'hop_size >= n_samples); "seed" pins the per-lane sampling seed '
+        "(defaults to a deterministic derivation, logged on completion "
+        "for bit-replay)",
     )
     p_serve.add_argument(
         "--ema", action="store_true",

@@ -30,10 +30,10 @@ class ArchConfig:
     skip_channels: int = 256          # width of the skip accumulator
     gate_channels: int = 64           # width of each of tanh/sigmoid branches
     quant_channels: int = 256         # mu-law classes (output softmax size)
-    # Width of the causal input conv. 2 is standard WaveNet and what the
-    # fused AR engines (turbo/mega) implement — their carried frontend
-    # state holds exactly one previous embedding; other widths run on the
-    # xla/pallas engines (the fused paths raise a clear guard).
+    # Width of the causal input conv. 2 is standard WaveNet; ALL engines
+    # (incl. the fused turbo/mega kernels, r3) support any K >= 1 — the
+    # kernels carry the K-1 past input-conv embeddings as an explicit
+    # stack (tests/test_generate.py K-parametrized parity).
     input_kernel: int = 2
     # Local conditioning (mel vocoder mode). n_mels == 0 disables it.
     n_mels: int = 0
@@ -125,6 +125,12 @@ class TrainConfig:
     remat: bool = False               # jax.checkpoint per layer (memory vs FLOPs)
     fused_stack: bool = False         # fused Pallas training-stack kernel
     tapcat: bool = False              # fused kernel: K=2C merged tap matmul
+    # Fuse the post-network + masked CE (fwd AND bwd) into a Pallas kernel
+    # pair (ops/pallas/post_loss.py): hidden/logits/softmax stay in VMEM
+    # and the unscored receptive-field head is skipped statically. Loss ==
+    # the XLA path to float tolerance (reduction order differs). Windowed
+    # training only (seq_parallel keeps the XLA post).
+    fused_post: bool = False
     # Gradient accumulation: split each batch into grad_accum microbatches
     # scanned inside ONE jitted step (peak activation memory drops
     # ~grad_accum-fold; the masked-mean loss/grads are EXACT — per-micro
@@ -144,6 +150,14 @@ class GenConfig:
     # AR engine: "xla" | "pallas" (bit-matches xla) | "turbo" | "mega"
     # (fastest; see ops/pallas/ar_mega.py). "" -> use_pallas legacy mapping.
     engine: str = ""
+    # Fused-engine (turbo/mega) sampling opt-out. DEFAULT (false): noise
+    # comes from the stateless per-lane counter hash with seeds derived
+    # from the session seed (generate.derive_lane_seeds) — platform-
+    # independent (CPU == TPU), oracle-goldenable, replayable per lane,
+    # measured cost-neutral on-chip. true: the session-global platform
+    # PRNG chain (pltpu.prng_random_bits on TPU; splitmix fallback on CPU
+    # interpret — streams then differ across platforms).
+    global_rng: bool = False
     # XLA-engine AUDIT knob: run the xla engine under
     # jax.default_matmul_precision(value) ("default"|"high"|"highest").
     # Measured on-chip (scripts/audit_check.py, BASELINE.md): the

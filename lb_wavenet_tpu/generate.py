@@ -211,6 +211,27 @@ def _sample_class_perlane(logits, temperature: float, lane_seed, t_local):
     return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
 
+def derive_lane_seeds(seed_base: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """Default per-lane seeds for the fused engines' sampled path.
+
+    The fused engines (turbo/mega) sample by DEFAULT from the stateless
+    per-lane counter hash (VERDICT r2 item 3: measured cost-neutral
+    on-chip, and it makes the sampled stream platform-independent —
+    CPU interpret == TPU — hence goldenable and replayable). When the
+    caller does not pin lane seeds explicitly (serving does), each lane's
+    seed is derived from the session seed_base and its lane index by one
+    extra hash round, so lanes are decorrelated and a (rng, lane) pair
+    fully determines the stream. The odd multiplier differs from the
+    in-hash time/class constants so lane/time/class offsets can't alias.
+    Mirrored in NumPy by tests/fast_wavenet_oracle.py.
+    """
+    b = jax.lax.broadcasted_iota(jnp.uint32, (batch,), 0)
+    mixed = _perlane_mix(
+        seed_base.astype(jnp.uint32) + b * jnp.uint32(0xB5297A4D)
+    )
+    return (mixed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+
 def generate_classes(
     params: Params,
     arch: ArchConfig,
@@ -224,6 +245,7 @@ def generate_classes(
     return_logits: bool = False,
     use_pallas: bool = False,
     engine: Optional[str] = None,
+    global_rng: bool = False,
 ):
     """Non-jitted entry: experiment env knobs are read HERE, outside every
     jit trace, and threaded through as static args — so an in-process flip
@@ -235,6 +257,7 @@ def generate_classes(
         temperature, return_logits, use_pallas, engine,
         mega_vmem_d=int(_os.environ.get("WAVENET_MEGA_VMEM_D", "1")),
         mega_pad_test=int(_os.environ.get("WAVENET_MEGA_PAD_TEST", "1")),
+        global_rng=global_rng,
     )
 
 
@@ -250,6 +273,7 @@ def generate_classes(
         "engine",
         "mega_vmem_d",
         "mega_pad_test",
+        "global_rng",
     ),
 )
 def _generate_classes_jit(
@@ -267,6 +291,7 @@ def _generate_classes_jit(
     engine: Optional[str] = None,
     mega_vmem_d: int = 1,
     mega_pad_test: int = 1,
+    global_rng: bool = False,
 ):
     """Ring-buffer scan over n_samples steps. Returns (classes (B, T)[, logits]).
 
@@ -278,10 +303,15 @@ def _generate_classes_jit(
       * "xla"    — plain XLA scan body (reference path).
       * "pallas" — fused Pallas stack kernel + XLA post/sampling; bit-matches
                    "xla" including the RNG stream.
-      * "turbo"  — everything in-kernel incl. Gumbel-max sampling on the
-                   TPU-native PRNG (fastest; sampled streams differ from the
-                   other engines, deterministic paths bit-match; no
-                   return_logits).
+      * "turbo"  — everything in-kernel incl. Gumbel-max sampling.
+      * "mega"   — the whole loop in one kernel (fastest).
+
+    Fused-engine sampling: by DEFAULT turbo/mega draw noise from the
+    stateless per-lane counter hash with seeds derived from the session
+    rng (derive_lane_seeds) — platform-independent (CPU == TPU),
+    oracle-goldenable, and replayable per lane; turbo and mega consume
+    identical noise. global_rng=True opts back into the session-global
+    platform PRNG chain (pltpu.prng_random_bits on TPU).
     """
     if engine is None:
         engine = "pallas" if use_pallas else "xla"
@@ -295,7 +325,7 @@ def _generate_classes_jit(
             raise ValueError("turbo engine does not expose logits")
         return _generate_classes_fused(
             params, arch, rng, b, n_samples, cond, gcond, forced, temperature,
-            engine, return_logits, mega_vmem_d, mega_pad_test,
+            engine, return_logits, mega_vmem_d, mega_pad_test, global_rng,
         )
 
     state = init_ring_state(arch, b, rng)
@@ -414,15 +444,20 @@ def _generate_classes_fused(
     return_logits: bool = False,
     mega_vmem_d: int = 1,
     mega_pad_test: int = 1,
+    global_rng: bool = False,
 ):
     """Fully-fused engines.
 
     "turbo": lax.scan whose body is ONE kernel launch (ops/pallas/ar_turbo).
     "mega":  the entire loop inside ONE pallas_call with grid over samples
              (ops/pallas/ar_mega) — no scan, no per-step launches at all.
+
+    Default sampling is the per-lane counter hash (lane seeds derived from
+    the session rng); global_rng=True restores the session-global platform
+    PRNG chain. Any input_kernel >= 1 is supported: the kernels carry the
+    K-1 past input-conv embeddings as an explicit stack (r3; the K = 2
+    production case carries exactly one).
     """
-    if arch.input_kernel != 2:
-        raise NotImplementedError("fused engines assume input_kernel == 2")
     interpret = jax.default_backend() == "cpu"
 
     # Fold global conditioning into the per-step conditioning vector.
@@ -442,6 +477,7 @@ def _generate_classes_fused(
     h0, e0 = _fused_frontend_zero(params, arch, b)
     bufs = jnp.zeros((sum(arch.dilations), b, arch.residual_channels))
     seed_base = _seed_base(rng)
+    per_lane = temperature > 0.0 and not global_rng
 
     if engine == "mega":
         from .ops.pallas.ar_mega import mega_generate
@@ -464,14 +500,24 @@ def _generate_classes_fused(
                     )], axis=1
                 )
             # h0/e0 rows are identical across lanes (built from the zero
-            # class) — replicate the first row.
+            # class) — replicate the first lane.
             h0 = jnp.concatenate(
                 [h0, jnp.broadcast_to(h0[:1], (pad,) + h0.shape[1:])], axis=0
             )
             e0 = jnp.concatenate(
-                [e0, jnp.broadcast_to(e0[:1], (pad,) + e0.shape[1:])], axis=0
+                [e0, jnp.broadcast_to(
+                    e0[:, :1], e0.shape[:1] + (pad,) + e0.shape[2:]
+                )], axis=1
             )
 
+        lane = None
+        if per_lane:
+            # Default fused-engine sampling: stateless per-lane hash; lane
+            # seeds derived from the session seed, lane-local time == t.
+            lane = jnp.stack([
+                derive_lane_seeds(seed_base, b + pad),
+                jnp.zeros((b + pad,), jnp.int32),
+            ])
         out = mega_generate(
             params,
             lp,
@@ -487,6 +533,7 @@ def _generate_classes_fused(
             interpret=interpret,
             emit_logits=return_logits,
             vmem_dmax=mega_vmem_d,
+            lane=lane,
         )
         if return_logits:
             classes, logits = out
@@ -496,18 +543,26 @@ def _generate_classes_fused(
             )
         return jnp.swapaxes(out[:, 0, :], 0, 1)[:b]  # (T, B) -> (B, T)
 
+    lane = None
+    if per_lane:
+        lane = jnp.stack(
+            [derive_lane_seeds(seed_base, b), jnp.zeros((b,), jnp.int32)]
+        )
     _, classes = _turbo_scan(
         params, lp, arch, (bufs, e0, h0), seed_base, jnp.int32(0),
-        cond_ts, forced_ts, temperature, has_cond, interpret,
+        cond_ts, forced_ts, temperature, has_cond, interpret, lane=lane,
     )
     return jnp.swapaxes(classes, 0, 1)
 
 
 def _turbo_scan(params, lp, arch: ArchConfig, carry0, seed_base, t0,
-                cond_ts, forced_ts, temperature, has_cond, interpret):
+                cond_ts, forced_ts, temperature, has_cond, interpret,
+                lane=None):
     """lax.scan of the fused turbo step; carry = (bufs, e, h). Absolute
     time t0 + i drives ring slots and the sampling-seed chain, so chunked
-    (streaming) and one-shot runs produce identical sequences. Returns
+    (streaming) and one-shot runs produce identical sequences. `lane`
+    (2, B) int32 [seeds; lease times] switches sampling to the per-lane
+    counter hash (the default — _generate_classes_fused). Returns
     (final carry, classes (T, B))."""
     from .ops.pallas.ar_turbo import turbo_step
 
@@ -519,11 +574,11 @@ def _turbo_scan(params, lp, arch: ArchConfig, carry0, seed_base, t0,
         bufs, e_cur, h0 = carry
         t, cond_t, forced_t = inp
         slots = offsets + jax.lax.rem(t, dils)
-        seed = (seed_base + t)[None]
+        seed = jnp.stack([seed_base + t, t])
         new_bufs, cls, e_next, h0_next = turbo_step(
             params, lp, arch, h0, e_cur, bufs, slots, seed,
             forced_t[:, None], cond_t=cond_t, temperature=temperature,
-            has_cond=has_cond, interpret=interpret,
+            has_cond=has_cond, interpret=interpret, lane=lane,
         )
         return (new_bufs, e_next, h0_next), cls
 
@@ -550,15 +605,27 @@ class Stream(NamedTuple):
 
 
 def _fused_frontend_zero(params: Params, arch: ArchConfig, batch: int):
-    """(h0, e0) for the zero-class first step of the fused engines."""
+    """(h0, estack0) for the zero-class first step of the fused engines.
+
+    h0 is the width-K causal input conv's output at t=0 (all past
+    embeddings are the zero padding, so only the current tap contributes);
+    estack0 is the (K-1, B, C) carried embedding stack, oldest tap first —
+    zeros except the last row, which holds e(0) (the zero class's
+    embedding). K == 1 carries an empty (0, B, C) stack (never entering a
+    kernel — the input conv then has no memory)."""
     dtype = jnp.dtype(arch.compute_dtype)
+    k = arch.input_kernel
+    c = arch.residual_channels
     zero_cls = jnp.full((batch,), arch.quant_channels // 2, jnp.int32)
     e0 = params["embed"][zero_cls]
     w_in = params["input_conv"]["w"]
     h0 = params["input_conv"]["b"].astype(jnp.float32) + _mm(
-        e0, w_in[1], dtype
+        e0, w_in[k - 1], dtype
     )
-    return h0, e0
+    estack0 = jnp.zeros((k - 1, batch, c), jnp.float32)
+    if k > 1:
+        estack0 = estack0.at[k - 2].set(e0.astype(jnp.float32))
+    return h0, estack0
 
 
 def _seed_base(rng: jax.Array) -> jnp.ndarray:
@@ -618,8 +685,6 @@ def start_stream(
     if engine in ("mega", "turbo"):
         if params is None:
             raise ValueError(f"start_stream(engine='{engine}') needs params")
-        if arch.input_kernel != 2:
-            raise NotImplementedError("fused engines assume input_kernel == 2")
         h0, e0 = _fused_frontend_zero(params, arch, batch)
         if engine == "mega":
             from .ops.pallas.ar_mega import mega_zero_carry
@@ -644,7 +709,8 @@ def start_stream(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "arch", "chunk_size", "temperature", "engine", "return_logits"
+        "arch", "chunk_size", "temperature", "engine", "return_logits",
+        "global_rng",
     ),
 )
 def stream_chunk(
@@ -660,6 +726,7 @@ def stream_chunk(
     return_logits: bool = False,
     lane_seed: Optional[jnp.ndarray] = None,  # (B,) int32 per-lane seeds
     lane_t0: Optional[jnp.ndarray] = None,    # (B,) int32 lane lease times
+    global_rng: bool = False,
 ):
     """Emit the next chunk_size samples and the advanced stream.
 
@@ -671,6 +738,14 @@ def stream_chunk(
     tests/test_generate.py). Engines: "xla" | "pallas" (scan engines, any
     batch, logits available) | "turbo" (fused step kernel, any batch) |
     "mega" (whole-chunk kernel, fastest, batch % 128 == 0 on TPU).
+
+    Sampling: the fused engines (turbo/mega) default to the per-lane
+    counter hash with seeds derived from the stream's seed_base and
+    lane-local time == absolute time — matching the one-shot default.
+    Explicit lane_seed/lane_t0 (serving pools) override the derivation;
+    global_rng=True opts back into the session-global platform PRNG chain.
+    The scan engines (xla/pallas) default to the shared threefry chain
+    (the bit-matching/naive-oracle tier) unless lane_seed is given.
 
     Returns (classes (B, chunk)[, logits], new_stream).
     """
@@ -695,6 +770,19 @@ def stream_chunk(
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]
 
+    if engine in ("mega", "turbo") and lane_seed is None and (
+        temperature > 0.0 and not global_rng
+    ):
+        # Fused-engine default sampling == the one-shot default: per-lane
+        # hash, seeds derived from the session seed, lane time == absolute
+        # time (so chunked output still bit-matches one-shot).
+        b_dev = (
+            stream.state["carry"]["h_s"].shape[-1] if engine == "mega"
+            else stream.state["h"].shape[0]
+        )
+        lane_seed = derive_lane_seeds(stream.state["seed_base"], b_dev)
+        lane_t0 = jnp.zeros((b_dev,), jnp.int32)
+
     if engine == "mega":
         return _mega_stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
@@ -706,14 +794,9 @@ def stream_chunk(
                 "turbo samples in-kernel and emits no logits; use the "
                 "pallas engine for logit-level streaming"
             )
-        if lane_seed is not None:
-            raise NotImplementedError(
-                "per-lane RNG covers the mega/xla/pallas engines; serve "
-                "with engine='mega' (any batch — sessions auto-pad)"
-            )
         return _turbo_stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
-            temperature,
+            temperature, lane_seed, lane_t0,
         )
 
     new_state, out = _run_scan_engine(
@@ -760,6 +843,8 @@ def _turbo_stream_chunk(
     gcond,
     forced,
     temperature: float,
+    lane_seed=None,
+    lane_t0=None,
 ):
     """One turbo-engine chunk: lax.scan of the fully-fused step kernel,
     carrying (rings, frontend) between chunks. Ring-slot phase and the
@@ -767,7 +852,7 @@ def _turbo_stream_chunk(
     chunked output continues the one-shot turbo sequence exactly."""
     interpret = jax.default_backend() == "cpu"
     st = stream.state
-    b = st["e"].shape[0]
+    b = st["h"].shape[0]
     cond_ts = jnp.swapaxes(cond, 0, 1) if cond is not None else None
     lp, cond_ts = _fold_gcond(
         params, params["layers"], cond_ts, gcond, chunk_size
@@ -778,9 +863,15 @@ def _turbo_stream_chunk(
     else:
         forced_ts = jnp.swapaxes(forced, 0, 1).astype(jnp.int32)
     seed_base = st["seed_base"]
+    lane = None
+    if lane_seed is not None:
+        lane = jnp.stack(
+            [lane_seed.astype(jnp.int32), lane_t0.astype(jnp.int32)]
+        )
     (bufs, e, h), classes = _turbo_scan(
         params, lp, arch, (st["bufs"], st["e"], st["h"]), seed_base,
         stream.t, cond_ts, forced_ts, temperature, has_cond, interpret,
+        lane=lane,
     )
     new_stream = Stream(
         {"bufs": bufs, "e": e, "h": h, "seed_base": seed_base},
@@ -903,19 +994,24 @@ def reset_lanes(
             stream.t,
         )
     if engine == "turbo":
-        b = st["e"].shape[0]
+        b = st["h"].shape[0]
         h0, e0 = _fused_frontend_zero(params, arch, b)
         row = lane_mask[:, None]
         return Stream(
             {
                 "bufs": jnp.where(lane_mask[None, :, None], 0.0, st["bufs"]),
-                "e": jnp.where(row, e0.astype(st["e"].dtype), st["e"]),
+                "e": jnp.where(
+                    lane_mask[None, :, None], e0.astype(st["e"].dtype),
+                    st["e"],
+                ),
                 "h": jnp.where(row, h0.astype(st["h"].dtype), st["h"]),
                 "seed_base": st["seed_base"],
             },
             stream.t,
         )
     if engine == "mega":
+        from .ops.pallas.ar_mega import estack_feature_major
+
         carry = st["carry"]
         b = carry["h_s"].shape[-1]
         h0, e0 = _fused_frontend_zero(params, arch, b)
@@ -930,8 +1026,7 @@ def reset_lanes(
                         carry["h_s"],
                     ),
                     "e_s": jnp.where(
-                        col, jnp.swapaxes(e0, 0, 1).astype(jnp.float32),
-                        carry["e_s"],
+                        col, estack_feature_major(e0), carry["e_s"],
                     ),
                 },
                 "seed_base": st["seed_base"],
@@ -976,6 +1071,7 @@ def generate(
     temperature: float = 1.0,
     use_pallas: bool = False,
     engine: Optional[str] = None,
+    global_rng: bool = False,
 ) -> jnp.ndarray:
     """Synthesize waveforms (B, n_samples) in [-1, 1].
 
@@ -1002,6 +1098,7 @@ def generate(
         temperature=temperature,
         use_pallas=use_pallas,
         engine=engine,
+        global_rng=global_rng,
     )
     return mu_law_decode(classes, arch.quant_channels)
 

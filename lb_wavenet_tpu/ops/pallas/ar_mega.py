@@ -23,13 +23,14 @@ This kernel removes all of it:
     activation, still in the VMEM history buffer.
   * Current+dilated taps CONCATENATED: one (2G, 2C) @ (2C, B) matmul per
     layer instead of two half-contraction ones.
-  * Post-network, Gumbel-max sampling (TPU PRNG), embedding lookup and the
-    next step's input conv run in the final unrolled stage; classes stream
-    out through a (1, 1, B) block per grid step.
+  * Post-network, Gumbel-max sampling (DEFAULT: per-lane counter hash —
+    platform-independent, goldenable, replayable; opt-out: TPU PRNG),
+    embedding lookup and the next step's input conv run in the final
+    unrolled stage; classes stream out through a (1, 1, B) block per step.
 
 Constraints: batch must be a multiple of 128 on real TPUs (lane alignment of
 the manual DMA); the driver enforces/pads. Sampling RNG matches the turbo
-engine.
+engine (both default to the per-lane hash; both opt out to the TPU PRNG).
 
 Precision note (measured on v5e, see BASELINE.md): at t=0 the mega logits are
 BIT-EXACT vs the XLA engine; over long autoregressive runs the streams drift
@@ -129,6 +130,8 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
             "use the default WAVENET_MEGA_VMEM_D=1 for mega streaming"
         )
 
+    k_taps = arch.input_kernel
+
     def kernel(*refs):
         # Scalar prefetch: [seed_base, t0] (t0 = absolute sample index of
         # this chunk's first step; 0 for one-shot calls).
@@ -140,10 +143,15 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         # per 8192 steps — every rep of a 6-rep alternating A/B was faster;
         # neutral at B=512): the layer chain is latency-bound, so removing
         # 30 per-op issues shows up once compute saturates.
-        (h0_ref, e0_ref, bufs_in, wcat_ref, b_ref, wrs_ref, brs_ref,
-         w1_ref, b1_ref, w2_ref, b2_ref, emb_ref, wi0_ref, wi1_ref,
-         bi_ref, forced_ref) = refs[1:17]
-        idx = 17
+        (h0_ref, bufs_in, wcat_ref, b_ref, wrs_ref, brs_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref, emb_ref, wicur_ref,
+         bi_ref, forced_ref) = refs[1:15]
+        idx = 15
+        if k_taps > 1:
+            e0_ref, wipast_ref = refs[idx:idx + 2]
+            idx += 2
+        else:
+            e0_ref = wipast_ref = None
         if streaming:
             hst0_ref = refs[idx]
             idx += 1
@@ -159,18 +167,24 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
             idx += 1
         else:
             lane_ref = None
-        n_out = 2 + (1 if emit_logits else 0) + (3 if streaming else 0)
+        n_stream_out = (3 if k_taps > 1 else 2) if streaming else 0
+        n_out = 2 + (1 if emit_logits else 0) + n_stream_out
         outs = refs[idx:idx + n_out]
         idx += n_out
         bufs_ref, cls_ref = outs[0], outs[1]
         logits_ref = outs[2] if emit_logits else None
+        es_out = None
         if streaming:
-            hstate_out, hs_out, es_out = outs[-3:]
-        if has_vring:
-            (h_s, e_s, hstate, vring, rsem, wsem) = refs[idx:]
-        else:
-            (h_s, e_s, hstate, rsem, wsem) = refs[idx:]
-            vring = None
+            if k_taps > 1:
+                hstate_out, hs_out, es_out = outs[-3:]
+            else:
+                hstate_out, hs_out = outs[-2:]
+        scr = list(refs[idx:])
+        h_s = scr.pop(0)
+        e_s = scr.pop(0) if k_taps > 1 else None
+        hstate = scr.pop(0)
+        vring = scr.pop(0) if has_vring else None
+        rsem, wsem = scr
         # hstate (L*2C, B): per layer a contiguous [current h | dilated tap]
         # pair — rows [l*2C, l*2C+C) stage this step's h (DMA'd back to the
         # ring), rows [l*2C+C, (l+1)*2C) receive the tap DMA. The gated
@@ -183,7 +197,8 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
         @pl.when(t == 0)
         def _():
             h_s[:] = h0_ref[:]
-            e_s[:] = e0_ref[:]
+            if e_s is not None:
+                e_s[:] = e0_ref[:]
             if streaming:
                 # Resume mid-stream: the staged [h | tap] pairs from the
                 # previous chunk's last step (d == 1 taps live here).
@@ -314,8 +329,21 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
 
         onehot = (row == cls[None, :]).astype(jnp.float32)  # (Q, B)
         e_next = mm(emb_ref[:], onehot)                     # (C, B)
-        h_s[:] = bi_ref[:] + mm(wi1_ref[:], e_next) + mm(wi0_ref[:], e_s[:])
-        e_s[:] = e_next
+        # Width-K input conv for the next step: current tap on e_next plus
+        # the K-1 carried embeddings (feature-major stack, oldest-first C-
+        # row blocks), then shift the stack. K=2 keeps the original
+        # two-matmul addition order (bit-exact).
+        h_new = bi_ref[:] + mm(wicur_ref[:], e_next)
+        if k_taps > 1:
+            for j in range(k_taps - 1):
+                h_new = h_new + mm(
+                    wipast_ref[j], e_s[pl.ds(j * c_dim, c_dim)]
+                )
+            for j in range(k_taps - 2):
+                e_s[pl.ds(j * c_dim, c_dim)] = e_s[pl.ds((j + 1) * c_dim,
+                                                         c_dim)]
+            e_s[pl.ds((k_taps - 2) * c_dim, c_dim)] = e_next
+        h_s[:] = h_new
 
         if streaming:
             # Export the VMEM carries so the next chunk resumes exactly:
@@ -325,21 +353,31 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
             def _export():
                 hstate_out[:] = hstate[:]
                 hs_out[:] = h_s[:]
-                es_out[:] = e_s[:]
+                if es_out is not None:
+                    es_out[:] = e_s[:]
 
     return kernel
 
 
-def mega_zero_carry(arch: ArchConfig, h0, e0):
+def estack_feature_major(estack: jnp.ndarray) -> jnp.ndarray:
+    """(K-1, B, C) embedding stack -> ((K-1)*C, B) feature-major layout:
+    C-row block j holds estack[j]^T (oldest tap first) — the mega kernel's
+    carried input-conv state."""
+    k1, b, c = estack.shape
+    return jnp.swapaxes(estack, 1, 2).reshape(k1 * c, b).astype(jnp.float32)
+
+
+def mega_zero_carry(arch: ArchConfig, h0, estack0):
     """Initial streaming carry (feature-major), equivalent to one-shot
-    start: empty rings, zero staged pairs, frontend from the zero class."""
+    start: empty rings, zero staged pairs, frontend from the zero class.
+    estack0 is generate._fused_frontend_zero's (K-1, B, C) stack."""
     b, c = h0.shape
     L = len(arch.dilations)
     return {
         "bufs": jnp.zeros((sum(arch.dilations) * c, b), jnp.float32),
         "hstate": jnp.zeros((L * 2 * c, b), jnp.float32),
         "h_s": jnp.swapaxes(h0, 0, 1).astype(jnp.float32),
-        "e_s": jnp.swapaxes(e0, 0, 1).astype(jnp.float32),
+        "e_s": estack_feature_major(estack0),
     }
 
 
@@ -353,7 +391,7 @@ def mega_generate(
     lp: dict,                      # layer params (w_cond possibly folded)
     arch: ArchConfig,
     h0: jnp.ndarray,               # (B, C) first-step residual input
-    e0: jnp.ndarray,               # (B, C) first-step embedding
+    e0: jnp.ndarray,               # (K-1, B, C) carried embedding stack
     seed_base: jnp.ndarray,        # () int32
     forced_ts: jnp.ndarray,        # (T, 1, B) int32
     cond_ts: Optional[jnp.ndarray],  # (T, B, Cc) or None
@@ -413,7 +451,7 @@ def mega_generate(
         h_in, e_in = carry["h_s"], carry["e_s"]
     else:
         bufs = jnp.zeros((sum(arch.dilations) * c, b), buf_dtype)
-        h_in, e_in = tr(h0), tr(e0)
+        h_in, e_in = tr(h0), estack_feature_major(e0)
         t0 = jnp.int32(0)
 
     def whole(shape):
@@ -432,9 +470,9 @@ def mega_generate(
         )),
         jnp.concatenate([lp["b_res"], lp["b_skip"]], axis=1)[:, :, None],
     ]
+    k_taps = arch.input_kernel
     in_specs = [
         whole((c, b)),                     # h0^T
-        whole((c, b)),                     # e0^T
         pl.BlockSpec(memory_space=pl.ANY),  # bufs (manual DMA)
         whole((L, two_g, 2 * c)),          # wcat^T
         whole((L, two_g, 1)),              # b
@@ -442,22 +480,32 @@ def mega_generate(
         whole((s, s)), whole((s, 1)),      # post w1^T/b1
         whole((q, s)), whole((q, 1)),      # post w2^T/b2
         whole((c, q)),                     # embed^T
-        whole((c, c)), whole((c, c)), whole((c, 1)),  # input conv ^T
+        whole((c, c)), whole((c, 1)),      # input conv: w[K-1]^T, bias
         pl.BlockSpec((1, 1, b), lambda t, seed: (t, 0, 0),
                      memory_space=pltpu.VMEM),        # forced
     ]
     args = [
-        h_in, e_in, bufs,
+        h_in, bufs,
         wcast(wcat), lp["b"][:, :, None],
         *rs_args,
         wcast(tr(pp["w1"])), pp["b1"][:, None],
         wcast(tr(pp["w2"])), pp["b2"][:, None],
         wcast(tr(params["embed"])),
-        wcast(tr(w_in[0])), wcast(tr(w_in[1])),
+        wcast(tr(w_in[k_taps - 1])),
         params["input_conv"]["b"][:, None],
         forced_ts,
     ]
+    # Operand indices for input/output aliasing (operand 0 is the scalar-
+    # prefetch vector, so arg position i is operand i + 1).
+    h0_op, bufs_op = 1, 2
+    e0_op = hstate_op = None
+    if k_taps > 1:
+        # Carried embedding stack ((K-1)*C, B) + past taps (K-1, C, C).
+        e0_op = len(args) + 1
+        in_specs += [whole(((k_taps - 1) * c, b)), whole((k_taps - 1, c, c))]
+        args += [e_in, wcast(jnp.swapaxes(w_in[: k_taps - 1], 1, 2))]
     if streaming:
+        hstate_op = len(args) + 1
         in_specs.append(whole((L * 2 * c, b)))   # hstate carry-in
         args.append(carry["hstate"])
     if has_cond:
@@ -489,51 +537,61 @@ def mega_generate(
         [pltpu.VMEM((vrows * c, b), buf_dtype)] if vrows > 0 else []
     )
 
+    # Outputs: bufs, classes[, logits][, hstate, h_s[, e_s]] — carries are
+    # input/output aliased for zero-copy chunk transitions.
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # bufs (aliased)
+        pl.BlockSpec((1, 1, b), lambda t, seed: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(bufs.shape, buf_dtype),
+        jax.ShapeDtypeStruct((n_samples, 1, b), jnp.int32),
+    ]
+    if emit_logits:
+        out_specs.append(pl.BlockSpec((1, q, b), lambda t, seed: (t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_samples, q, b), jnp.float32)
+        )
+    aliases = {bufs_op: 0}
+    if streaming:
+        hstate_out_idx = len(out_specs)
+        out_specs += [whole((L * 2 * c, b)), whole((c, b))]
+        out_shape += [
+            jax.ShapeDtypeStruct((L * 2 * c, b), buf_dtype),
+            jax.ShapeDtypeStruct((c, b), jnp.float32),
+        ]
+        aliases[hstate_op] = hstate_out_idx
+        aliases[h0_op] = hstate_out_idx + 1
+        if k_taps > 1:
+            out_specs.append(whole(((k_taps - 1) * c, b)))
+            out_shape.append(
+                jax.ShapeDtypeStruct(((k_taps - 1) * c, b), jnp.float32)
+            )
+            aliases[e0_op] = hstate_out_idx + 2
+
+    scratch = [pltpu.VMEM((c, b), jnp.float32)]          # h_s
+    if k_taps > 1:
+        scratch.append(
+            pltpu.VMEM(((k_taps - 1) * c, b), jnp.float32)  # e_s stack
+        )
+    scratch.append(pltpu.VMEM((L * 2 * c, b), buf_dtype))  # hstate pairs
+
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_samples,),
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # bufs (aliased)
-                pl.BlockSpec((1, 1, b), lambda t, seed: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + ([pl.BlockSpec((1, q, b), lambda t, seed: (t, 0, 0),
-                               memory_space=pltpu.VMEM)] if emit_logits else [])
-              + ([whole((L * 2 * c, b)), whole((c, b)), whole((c, b))]
-                 if streaming else []),
-            scratch_shapes=[
-                pltpu.VMEM((c, b), jnp.float32),        # h_s
-                pltpu.VMEM((c, b), jnp.float32),        # e_s
-                pltpu.VMEM((L * 2 * c, b), buf_dtype),  # hstate [h | tap] pairs
-            ] + vring_scratch + [
+            out_specs=out_specs,
+            scratch_shapes=scratch + vring_scratch + [
                 pltpu.SemaphoreType.DMA((L,)),          # read sems
                 pltpu.SemaphoreType.DMA((L,)),          # write sems
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct(bufs.shape, buf_dtype),
-            jax.ShapeDtypeStruct((n_samples, 1, b), jnp.int32),
-        ] + ([jax.ShapeDtypeStruct((n_samples, q, b), jnp.float32)]
-             if emit_logits else [])
-          + ([jax.ShapeDtypeStruct((L * 2 * c, b), buf_dtype),
-              jax.ShapeDtypeStruct((c, b), jnp.float32),
-              jax.ShapeDtypeStruct((c, b), jnp.float32)]
-             if streaming else []),
-        # operands: seed(0), h0(1), e0(2), bufs(3), wcat(4), b(5), wrs(6),
-        # brs(7), post w1/b1/w2/b2 (8-11), embed(12), input conv (13-15),
-        # forced(16) -> alias bufs. Streaming also aliases the carries
-        # (hstate operand 17 right after forced; h/e via operands 1/2) to
-        # their outputs — zero-copy chunk transitions.
-        input_output_aliases=(
-            {3: 0} if not streaming else {
-                3: 0,
-                17: 2 + (1 if emit_logits else 0),
-                1: 3 + (1 if emit_logits else 0),
-                2: 4 + (1 if emit_logits else 0),
-            }
-        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # The default scoped-VMEM cap (16 MB) is below what v5e offers;
@@ -545,10 +603,17 @@ def mega_generate(
     )(jnp.stack([seed_base.astype(jnp.int32), t0.astype(jnp.int32)]), *args)
     if streaming:
         if emit_logits:
-            bufs_out, classes, logits, hstate_o, hs_o, es_o = out
+            bufs_out, classes, logits = out[:3]
+            rest = out[3:]
         else:
-            bufs_out, classes, hstate_o, hs_o, es_o = out
+            bufs_out, classes = out[:2]
+            rest = out[2:]
             logits = None
+        if k_taps > 1:
+            hstate_o, hs_o, es_o = rest
+        else:
+            hstate_o, hs_o = rest
+            es_o = jnp.zeros((0, b), jnp.float32)
         new_carry = {
             "bufs": bufs_out, "hstate": hstate_o, "h_s": hs_o, "e_s": es_o,
         }

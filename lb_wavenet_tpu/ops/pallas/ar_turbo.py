@@ -7,12 +7,17 @@ iteration of the same kernel. The lax.scan body is then a single kernel
 launch with NO XLA ops between steps — the per-step floor is one kernel
 dispatch plus the stack math itself.
 
-Sampling note: the turbo engine draws randomness from the TPU-native PRNG
-(`pltpu.prng_seed` / `prng_random_bits`, Gumbel-max trick), so its sampled
-streams differ from the XLA engine's threefry categorical draws; its
-deterministic paths — teacher forcing and temperature=0 greedy — are
-bit-identical to the other engines (tested). Use the `pallas` engine when a
-stream must bit-match the XLA engine's RNG chain.
+Sampling note: by DEFAULT the turbo engine samples from the stateless
+per-lane counter hash over (lane_seed, lane-local time, class) — THE SAME
+function as generate.perlane_gumbel and ar_mega._perlane_bits, so turbo
+sampled streams are platform-independent (CPU interpret == TPU), consume
+noise identically to the mega engine, and are replayable per lane
+(generate.derive_lane_seeds). The opt-out global chain (global_rng=True)
+draws from the TPU-native PRNG (`pltpu.prng_seed`/`prng_random_bits`),
+whose streams differ from the XLA engine's threefry draws. Deterministic
+paths — teacher forcing and temperature=0 greedy — are bit-identical to
+the other engines regardless (tested). Use the `pallas` engine when a
+stream must bit-match the XLA engine's threefry RNG chain.
 """
 from __future__ import annotations
 
@@ -30,7 +35,7 @@ from ...config import ArchConfig
 def _turbo_kernel(
     # scalar prefetch
     slots_ref,                    # (L,) int32
-    seed_ref,                     # (1,) int32 per-step PRNG seed
+    seed_ref,                     # (2,) int32 [per-step PRNG seed, t_abs]
     # inputs
     h0_ref,                       # (B, C) residual input of this step
     tap_ref,                      # (1, B, C)
@@ -40,23 +45,27 @@ def _turbo_kernel(
     w1_ref, b1_ref,               # (S,S) (1,S)
     w2_ref, b2_ref,               # (S,Q) (1,Q)
     embed_ref,                    # (Q, C)
-    win0_ref, win1_ref, bin_ref,  # (C,C) (C,C) (1,C) input conv taps t-1, t
-    ecur_ref,                     # (B, C) this step's input embedding e(t)
+    wcur_ref, bin_ref,            # (C,C) current input-conv tap w[K-1], (1,C)
     forced_ref,                   # (B, 1) int32, -1 = sample freely
     cond_ref,                     # (B, Cc) or None
     wcond_ref,                    # (1, Cc, 2G) or None
+    lane_ref,                     # (B, 2) int32 [seed, lease t0] or None
+    wpast_ref,                    # (K-1, C, C) past taps w[0..K-2] or None
+    estack_ref,                   # (K-1, B, C) e(t-K+2)..e(t), or None (K=1)
     # outputs
     newtap_ref,                   # (1, B, C) aliased ring slot
     class_ref,                    # (B, 1) int32 sampled class
-    enext_ref,                    # (B, C) f32 embedding of sampled class
     h0next_ref,                   # (B, C) f32 next step's residual input
+    newstack_ref,                 # (K-1, B, C) shifted stack, or None
     # scratch
     h_s, skip_s,
     *,
     compute_dtype,
     n_layers: int,
+    k_taps: int,
     temperature: float,
     use_hw_prng: bool = True,
+    per_lane: bool = False,
 ):
     l = pl.program_id(0)
 
@@ -92,26 +101,46 @@ def _turbo_kernel(
         logits = mm(hidden, w2_ref[:]) + b2_ref[0]  # (B, Q) f32
         q = logits.shape[-1]
 
+        def _mix(x):
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            return x ^ (x >> 16)
+
         if temperature > 0.0:
-            if use_hw_prng:
+            if per_lane:
+                # Per-lane counter hash (the default sampling path):
+                # bit-identical to generate.perlane_gumbel's bit stage and
+                # to ar_mega._perlane_bits — a lane's noise depends only on
+                # (lane_seed, t_abs - lease_t0, class), independent of the
+                # batch width, lane position, engine, and platform PRNG.
+                s = lane_ref[:, 0:1].astype(jnp.uint32)                # (B, 1)
+                tl = (
+                    seed_ref[1] - lane_ref[:, 1:2]
+                ).astype(jnp.uint32)                                   # (B, 1)
+                qi = jax.lax.broadcasted_iota(jnp.uint32, (bsz, q), 1)
+                bits = _mix(
+                    s + tl * jnp.uint32(0x9E3779B9)
+                    + qi * jnp.uint32(0x7FEB352D)
+                )
+            elif use_hw_prng:
                 pltpu.prng_seed(seed_ref[0])
                 bits = pltpu.bitcast(
                     pltpu.prng_random_bits((bsz, q)), jnp.uint32
                 )
             else:
-                # Interpret-mode (CPU) fallback: splitmix32 counter hash —
+                # Interpret-mode (CPU) fallback for the GLOBAL chain —
                 # pltpu.prng_* has no CPU lowering. Streams differ from the
                 # TPU PRNG; deterministic paths are unaffected.
                 ctr = (
                     jax.lax.broadcasted_iota(jnp.uint32, (bsz, q), 0) * q
                     + jax.lax.broadcasted_iota(jnp.uint32, (bsz, q), 1)
                 )
-                x = seed_ref[0].astype(jnp.uint32) + ctr * jnp.uint32(0x9E3779B9)
-                x = x ^ (x >> 16)
-                x = x * jnp.uint32(0x85EBCA6B)
-                x = x ^ (x >> 13)
-                x = x * jnp.uint32(0xC2B2AE35)
-                bits = x ^ (x >> 16)
+                bits = _mix(
+                    seed_ref[0].astype(jnp.uint32)
+                    + ctr * jnp.uint32(0x9E3779B9)
+                )
             # 24-bit mantissa-exact uniform in (0, 1) -> Gumbel(0,1).
             # Mosaic has no uint32->f32 cast; the 24-bit value is positive,
             # so bitcast to int32 first.
@@ -137,10 +166,18 @@ def _turbo_kernel(
 
         onehot = (col[:, :] == cls[:, None]).astype(jnp.float32)
         e_next = mm(onehot, embed_ref[:])  # (B, C)
-        enext_ref[:] = e_next
-        h0next_ref[:] = (
-            bin_ref[0] + mm(e_next, win1_ref[:]) + mm(ecur_ref[:], win0_ref[:])
-        )
+        # Width-K causal input conv for the NEXT step: current tap on
+        # e_next plus the K-1 carried past embeddings (oldest first); the
+        # stack shifts left and appends e_next. K=2 reduces to the classic
+        # two-matmul form with identical addition order (bit-exact).
+        h0n = bin_ref[0] + mm(e_next, wcur_ref[:])
+        if k_taps > 1:
+            for j in range(k_taps - 1):
+                h0n = h0n + mm(estack_ref[j], wpast_ref[j])
+            for j in range(k_taps - 2):
+                newstack_ref[j] = estack_ref[j + 1]
+            newstack_ref[k_taps - 2] = e_next
+        h0next_ref[:] = h0n
 
 
 @functools.partial(
@@ -152,18 +189,20 @@ def turbo_step(
     lp: dict,
     arch: ArchConfig,
     h0: jnp.ndarray,
-    e_cur: jnp.ndarray,
+    estack: jnp.ndarray,          # (K-1, B, C) carried input-conv embeddings
     bufs: jnp.ndarray,
     slots: jnp.ndarray,
-    seed: jnp.ndarray,            # (1,) int32
+    seed: jnp.ndarray,            # (2,) int32 [per-step seed, t_abs]
     forced_t: jnp.ndarray,        # (B, 1) int32
     cond_t: Optional[jnp.ndarray] = None,
     temperature: float = 1.0,
     has_cond: bool = False,
     interpret: bool = False,
+    lane: Optional[jnp.ndarray] = None,  # (2, B) int32 [seeds; lease times]
 ):
     L = len(arch.dilations)
     b, c = h0.shape
+    k_taps = arch.input_kernel
     two_g = lp["w_cur"].shape[-1]
     gch = two_g // 2
     s = arch.skip_channels
@@ -202,8 +241,7 @@ def turbo_step(
         whole((s, s)), whole((1, s)),         # post w1/b1
         whole((s, q)), whole((1, q)),         # post w2/b2
         whole((q, c)),                        # embed
-        whole((c, c)), whole((c, c)), whole((1, c)),  # input conv
-        whole((b, c)),                        # e_cur
+        whole((c, c)), whole((1, c)),         # input conv: w[K-1], bias
         whole((b, 1)),                        # forced
     ]
     w_in = params["input_conv"]["w"]
@@ -216,59 +254,85 @@ def turbo_step(
         pp["w1"], pp["b1"][None, :],
         pp["w2"], pp["b2"][None, :],
         params["embed"],
-        w_in[0], w_in[1], params["input_conv"]["b"][None, :],
-        e_cur,
+        w_in[k_taps - 1], params["input_conv"]["b"][None, :],
         forced_t,
     ]
     if has_cond:
         cc = lp["w_cond"].shape[1]
         in_specs += [whole((b, cc)), layer_block((cc, two_g))]
         args += [cond_t, lp["w_cond"]]
-        kernel = functools.partial(
-            _turbo_kernel,
-            compute_dtype=dt,
-            n_layers=L,
-            temperature=temperature,
-            use_hw_prng=not interpret,
-        )
-    else:
-        def kernel(slots, seed, h0r, tap, wc, wp, bb, wr, br, ws, bs,
-                   w1, b1, w2, b2, emb, wi0, wi1, bi, ec, fr,
-                   newtap, cls, en, hn, h_s, skip_s):
-            return _turbo_kernel(
-                slots, seed, h0r, tap, wc, wp, bb, wr, br, ws, bs,
-                w1, b1, w2, b2, emb, wi0, wi1, bi, ec, fr,
-                None, None,
-                newtap, cls, en, hn, h_s, skip_s,
-                compute_dtype=dt, n_layers=L, temperature=temperature,
-                use_hw_prng=not interpret,
-            )
+    per_lane = lane is not None
+    if per_lane:
+        in_specs += [whole((b, 2))]
+        args += [jnp.swapaxes(lane, 0, 1)]  # batch-major for this kernel
+    if k_taps > 1:
+        in_specs += [
+            whole((k_taps - 1, c, c)), whole((k_taps - 1, b, c)),
+        ]
+        args += [w_in[: k_taps - 1], estack.astype(jnp.float32)]
 
-    new_bufs, cls, e_next, h0_next = pl.pallas_call(
+    base = functools.partial(
+        _turbo_kernel,
+        compute_dtype=dt,
+        n_layers=L,
+        k_taps=k_taps,
+        temperature=temperature,
+        use_hw_prng=not interpret,
+        per_lane=per_lane,
+    )
+    n_in = len(args)
+
+    def kernel(slots_r, seed_r, *rest):
+        ins = list(rest[:n_in])
+        tail = list(rest[n_in:])  # outputs + scratch
+        estack_r = ins.pop() if k_taps > 1 else None
+        wpast_r = ins.pop() if k_taps > 1 else None
+        lane_r = ins.pop() if per_lane else None
+        wcond_r = ins.pop() if has_cond else None
+        cond_r = ins.pop() if has_cond else None
+        if k_taps > 1:
+            newtap, cls_o, h0n_o, newstack, h_s, skip_s = tail
+        else:
+            newtap, cls_o, h0n_o, h_s, skip_s = tail
+            newstack = None
+        return base(
+            slots_r, seed_r, *ins, cond_r, wcond_r, lane_r,
+            wpast_r, estack_r, newtap, cls_o, h0n_o, newstack,
+            h_s, skip_s,
+        )
+
+    out_specs = [tap_spec, whole((b, 1)), whole((b, c))]
+    out_shape = [
+        jax.ShapeDtypeStruct(bufs.shape, bufs.dtype),
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, c), jnp.float32),
+    ]
+    if k_taps > 1:
+        out_specs.append(whole((k_taps - 1, b, c)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((k_taps - 1, b, c), jnp.float32)
+        )
+
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(L,),
             in_specs=in_specs,
-            out_specs=[
-                tap_spec,
-                whole((b, 1)),
-                whole((b, c)),
-                whole((b, c)),
-            ],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((b, c), jnp.float32),
                 pltpu.VMEM((b, s), jnp.float32),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct(bufs.shape, bufs.dtype),
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-        ],
+        out_shape=out_shape,
         # call operands: slots(0), seed(1), h0(2), bufs(3), ...
         input_output_aliases={3: 0},
         interpret=interpret,
     )(slots, seed, *args)
-    return new_bufs, cls[:, 0], e_next, h0_next
+    if k_taps > 1:
+        new_bufs, cls, h0_next, new_stack = outs
+    else:
+        new_bufs, cls, h0_next = outs
+        new_stack = estack  # (0, B, C): structural placeholder
+    return new_bufs, cls[:, 0], new_stack, h0_next

@@ -12,10 +12,11 @@ Design constraints that shape the code:
   * everything device-side stays fixed-shape (one compile): the pool
     always steps ALL lanes and discards idle lanes' output on the host;
   * greedy/teacher-forced output is bit-identical to dedicated sessions
-    (tests pin it). Sampled output: the DEFAULT chain is session-global
-    (independent but not replayable — see reset_lanes); per_lane_rng=True
-    switches to the stateless per-lane counter hash so sampled requests
-    bit-match a dedicated session opened with the same submit(seed=...);
+    (tests pin it). Sampled output DEFAULTS to the stateless per-lane
+    counter hash (per_lane_rng=True), so sampled requests bit-match a
+    dedicated session opened with the same submit(seed=...) — CPU == TPU,
+    cost-neutral on-chip; per_lane_rng=False opts out to the
+    session-global platform chain (independent but not replayable);
   * mel conditioning is per-chunk host data (cond cursors differ per
     lane), so the pool accepts a per-request `cond_fn(t0, n) -> (n, Cc)`
     callback and assembles the batch cond slab itself.
@@ -37,6 +38,13 @@ from .generate import (
     start_stream,
     stream_chunk,
 )
+
+# Device-side class narrowing for delivery: mu-law classes fit uint8
+# (Q <= 256), and on this image's relay the D2H fetch is the serving
+# loop's dominant per-step cost — shipping 1 byte/sample instead of 4
+# cuts the delivered payload 4x (VERDICT r2 item 2). Jitted so the cast
+# never dispatches eagerly (eager per-op dispatch is ~30 s on axon).
+_narrow_u8 = jax.jit(lambda x: x.astype(jnp.uint8))
 
 
 @dataclasses.dataclass
@@ -76,7 +84,7 @@ class SessionPool:
         chunk_size: int = 1024,
         temperature: float = 1.0,
         pipeline: bool = False,
-        per_lane_rng: bool = False,
+        per_lane_rng: bool = True,
     ):
         self.params = params
         self.arch = arch
@@ -93,19 +101,16 @@ class SessionPool:
         # timing shifts by one chunk.
         self.pipeline = pipeline
         self._inflight: Optional[tuple] = None
-        # per_lane_rng=True: sampling noise comes from a stateless counter
-        # hash over (lane_seed, lane-local time, class) instead of the
-        # session-global chain — a request's SAMPLED stream bit-matches a
-        # dedicated session opened with the same seed (generate.
-        # perlane_gumbel; engines: mega/xla/pallas). submit(seed=...) pins a
-        # request's seed; otherwise one is derived from the pool seed and a
-        # running request counter.
+        # per_lane_rng=True (the DEFAULT, all engines): sampling noise comes
+        # from a stateless counter hash over (lane_seed, lane-local time,
+        # class) instead of the session-global chain — a request's SAMPLED
+        # stream bit-matches a dedicated session opened with the same seed
+        # (generate.perlane_gumbel; measured cost-neutral on-chip,
+        # BASELINE.md). submit(seed=...) pins a request's seed; otherwise
+        # one is derived from the pool seed and a running request counter.
+        # per_lane_rng=False opts out to the session-global platform chain
+        # (independent but non-replayable sampling).
         self.per_lane_rng = per_lane_rng
-        if per_lane_rng and engine == "turbo":
-            raise ValueError(
-                "per-lane RNG covers mega/xla/pallas; turbo serving pools "
-                "use the session-global chain (pick engine='mega')"
-            )
         self._t_dispatched = 0
         self._n_submitted = 0
         self._pool_seed = int(
@@ -262,8 +267,14 @@ class SessionPool:
             self.params, self.arch, self.stream, self.chunk_size,
             cond=cond, speaker_ids=speaker_ids,
             temperature=self.temperature, engine=self.engine,
+            # per_lane_rng=False means the session-GLOBAL chain, not the
+            # engine-default derived lane seeds (which would be lane-
+            # position-dependent and mid-stream non-replayable anyway).
+            global_rng=not self.per_lane_rng,
             **lane_kw,
         )
+        if self.arch.quant_channels <= 256:
+            classes = _narrow_u8(classes)
         self._t_dispatched += self.chunk_size
 
         meta = []
@@ -288,9 +299,14 @@ class SessionPool:
 
     @staticmethod
     def _deliver(inflight: tuple) -> Dict[object, tuple]:
-        """Fetch a dispatched chunk to the host and slice per request."""
+        """Fetch a dispatched chunk to the host and slice per request.
+
+        The fetch crosses the device boundary as uint8 (4x smaller D2H);
+        the per-request slices are widened back to int32 on the host so
+        the delivered API dtype is unchanged."""
         classes_dev, meta = inflight
         classes = np.asarray(classes_dev)
         return {
-            rid: (classes[i, :n], done) for i, rid, n, done in meta
+            rid: (classes[i, :n].astype(np.int32), done)
+            for i, rid, n, done in meta
         }

@@ -43,6 +43,19 @@ def main():
         )
         print(f"tiny_seed{seed}: {arrays[f'tiny_seed{seed}'].shape}")
 
+    # Fused-engine DEFAULT sampled path (per-lane counter hash — VERDICT r2
+    # item 3): the oracle's NumPy hash re-derivation pins turbo/mega (and
+    # xla/pallas driven with explicit lane seeds) seed-for-seed.
+    for seed in (5, 21):
+        arrays[f"tiny_perlane_seed{seed}"] = fifo_generate(
+            params, TINY, jax.random.key(seed), 2, 512, temperature=1.0,
+            perlane=True,
+        )
+        print(
+            f"tiny_perlane_seed{seed}: "
+            f"{arrays[f'tiny_perlane_seed{seed}'].shape}"
+        )
+
     # Mel + speaker conditioned, 256 samples.
     cparams = init_params(jax.random.key(0), COND_ARCH)
     frames = jax.random.normal(jax.random.key(1), (2, 64, COND_ARCH.n_mels))

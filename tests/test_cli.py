@@ -590,3 +590,90 @@ def test_cli_warm_precompiles(tmp_path):
         "stream_chunk[mega]x8", "stream_chunk[xla]x8",
     }
     assert env_cache.exists() and len(os.listdir(env_cache)) >= 1
+
+
+def test_cli_serve_mel_conditioned_with_seed_replay(tmp_path):
+    """VERDICT r2 item 4: `wavenet serve` drives a mel-conditioned arch end
+    to end (per-request "mel" npy through SessionPool's cond_fn), logs each
+    request's per-lane sampling seed, and a request replayed with that seed
+    on a DIFFERENT pool (other batch width, fresh process) reproduces the
+    wav bit-for-bit."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 200 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=2",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8", "--set", "arch.n_mels=4",
+        "--set", "arch.cond_channels=8", "--set", "arch.upsample_factors=[4]",
+        "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt, outdir = tmp_path / "ck", tmp_path / "out"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    rng = np.random.default_rng(0)
+    mels = {}
+    for rid, n in (("alpha", 40), ("beta", 24)):
+        frames = rng.standard_normal((n // 4 + 2, 4)).astype(np.float32)
+        path = tmp_path / f"{rid}.npy"
+        np.save(path, frames)
+        mels[rid] = (n, str(path))
+    reqs = tmp_path / "requests.jsonl"
+    reqs.write_text(
+        json.dumps({"id": "alpha", "n_samples": 40,
+                    "mel": mels["alpha"][1], "seed": 777}) + "\n"
+        + json.dumps({"id": "beta", "n_samples": 24,
+                      "mel": mels["beta"][1]}) + "\n"
+    )
+    r = _run(
+        ["serve", *tiny, "--requests", str(reqs), "--stream-chunk", "8",
+         "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=2",
+         "--set", f'gen.out_dir="{outdir}"'],
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = [json.loads(l) for l in r.stdout.splitlines() if l.startswith("{")]
+    done = {rec["done"]: rec for rec in lines[:-1] if "done" in rec}
+    assert done["alpha"]["seed"] == 777
+    assert isinstance(done["beta"]["seed"], int)  # derived seed is logged
+    assert lines[-1]["served"] == 2
+
+    # Replay alpha alone on a 1-lane pool with the logged seed: bit-equal.
+    reqs2 = tmp_path / "replay.jsonl"
+    reqs2.write_text(json.dumps(
+        {"id": "alpha", "n_samples": 40, "mel": mels["alpha"][1],
+         "seed": 777}) + "\n")
+    out2 = tmp_path / "out2"
+    r = _run(
+        ["serve", *tiny, "--requests", str(reqs2), "--stream-chunk", "8",
+         "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=1",
+         "--set", f'gen.out_dir="{out2}"'],
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    a = (outdir / "alpha.wav").read_bytes()
+    b = (out2 / "alpha.wav").read_bytes()
+    assert a == b
+
+    # Missing mel on a mel arch is rejected with a clear message.
+    reqs3 = tmp_path / "bad.jsonl"
+    reqs3.write_text('{"id": "x", "n_samples": 8}\n')
+    r = _run(["serve", *tiny, "--requests", str(reqs3),
+              "--set", f'gen.checkpoint_dir="{ckpt}"',
+              "--set", f'gen.out_dir="{outdir}"'], timeout=300)
+    assert r.returncode != 0 and "mel" in r.stderr

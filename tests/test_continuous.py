@@ -131,11 +131,11 @@ def test_reset_then_prime_new_request(params):
 
 
 def test_per_lane_rng_sampled_reproducibility(params):
-    """VERDICT r1 item 7: per-lane counter-based RNG — a pooled request's
-    SAMPLED stream bit-matches a dedicated session opened with the same
-    seed, including requests on RECYCLED lanes, for the xla and mega
-    engines (the hash depends only on (seed, lane-local t, class): batch
-    width, lane position, and platform PRNG drop out)."""
+    """VERDICT r1 item 7 + r2 item 3: per-lane counter-based RNG — a pooled
+    request's SAMPLED stream bit-matches a dedicated session opened with
+    the same seed, including requests on RECYCLED lanes, for the xla, mega
+    AND turbo engines (the hash depends only on (seed, lane-local t,
+    class): batch width, lane position, and platform PRNG drop out)."""
     from lb_wavenet_tpu.serving import SessionPool
 
     arch = ARCH
@@ -155,7 +155,7 @@ def test_per_lane_rng_sampled_reproducibility(params):
             t += CH
         return np.concatenate(outs)[:n]
 
-    for engine in ("xla", "mega"):
+    for engine in ("xla", "mega", "turbo"):
         pool = SessionPool(params, arch, batch=2, rng=jax.random.key(1),
                            engine=engine, chunk_size=CH, temperature=1.0,
                            per_lane_rng=True)
@@ -181,9 +181,9 @@ def test_per_lane_rng_sampled_reproducibility(params):
                 err_msg=f"{engine}:{rid}",
             )
     # Cross-engine: same hash + fp32 logits -> identical sampled streams.
-    np.testing.assert_array_equal(
-        dedicated("xla", 999, 2 * CH), dedicated("mega", 999, 2 * CH)
-    )
+    xla_999 = dedicated("xla", 999, 2 * CH)
+    np.testing.assert_array_equal(xla_999, dedicated("mega", 999, 2 * CH))
+    np.testing.assert_array_equal(xla_999, dedicated("turbo", 999, 2 * CH))
 
 
 def test_per_lane_rng_streams_differ_by_seed(params):

@@ -347,3 +347,54 @@ def test_matmul_precision_audit_mode():
             params, MICRO, rng, B, T, engine="pallas", temperature=1.0
         )
     np.testing.assert_array_equal(np.asarray(hi), np.asarray(hi_p))
+
+
+def test_fused_engines_general_input_kernel():
+    """VERDICT r2 item 6: the fused engines (turbo/mega) support any
+    input_kernel K >= 1 via an explicit carried embedding stack — greedy
+    parity vs the xla engine, identical per-lane sampled streams, and
+    chunked streaming continuation, at K = 1, 2, 3."""
+    from lb_wavenet_tpu.config import ArchConfig
+    from lb_wavenet_tpu.generate import start_stream, stream_chunk
+
+    for k_taps in (1, 2, 3):
+        _check_fused_k(k_taps, ArchConfig, start_stream, stream_chunk)
+
+
+def _check_fused_k(k_taps, ArchConfig, start_stream, stream_chunk):
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8, input_kernel=k_taps,
+        compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    ref = np.asarray(generate_classes(
+        params, arch, jax.random.key(7), 2, 64, temperature=0.0,
+        engine="xla",
+    ))
+    sampled = {}
+    for eng in ("turbo", "mega"):
+        got = np.asarray(generate_classes(
+            params, arch, jax.random.key(7), 2, 64, temperature=0.0,
+            engine=eng,
+        ))
+        np.testing.assert_array_equal(got, ref, err_msg=f"K={k_taps} {eng}")
+        sampled[eng] = np.asarray(generate_classes(
+            params, arch, jax.random.key(7), 2, 64, temperature=1.0,
+            engine=eng,
+        ))
+        # streaming continuation across chunks
+        stream = start_stream(arch, 2, jax.random.key(7), engine=eng,
+                              params=params)
+        parts = []
+        for _ in range(4):
+            cls, stream = stream_chunk(
+                params, arch, stream, 16, temperature=1.0, engine=eng
+            )
+            parts.append(np.asarray(cls))
+        np.testing.assert_array_equal(
+            np.concatenate(parts, axis=1), sampled[eng],
+            err_msg=f"K={k_taps} {eng} stream",
+        )
+    # turbo and mega consume identical per-lane hash noise.
+    np.testing.assert_array_equal(sampled["turbo"], sampled["mega"])

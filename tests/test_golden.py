@@ -144,6 +144,54 @@ def test_primed_greedy_all_four_engines_match_oracle_golden():
         )
 
 
+def test_fused_default_sampled_matches_oracle_golden():
+    """The fused engines' DEFAULT sampled path (per-lane counter hash) ≡
+    oracle goldens, seed-for-seed — turbo and mega consume identical,
+    platform-independent noise (VERDICT r2 item 3); the scan engines driven
+    with the same derived lane seeds reproduce the very same stream."""
+    from lb_wavenet_tpu.generate import (
+        _seed_base, derive_lane_seeds, start_stream, stream_chunk,
+    )
+
+    params = init_params(jax.random.key(0), TINY)
+    for seed in (5, 21):
+        want = _golden(f"tiny_perlane_seed{seed}")
+        for engine in ("turbo", "mega"):
+            got = generate_classes(
+                params, TINY, jax.random.key(seed), 2, 512, temperature=1.0,
+                engine=engine,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got), want, err_msg=f"engine={engine} seed={seed}"
+            )
+    # xla engine, explicit lane seeds derived the same way == same stream.
+    key = jax.random.key(5)
+    lane_seed = derive_lane_seeds(_seed_base(key), 2)
+    stream = start_stream(TINY, 2, key, engine="xla")
+    cls, _ = stream_chunk(
+        params, TINY, stream, 512, temperature=1.0, engine="xla",
+        lane_seed=lane_seed, lane_t0=jnp.zeros(2, jnp.int32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cls), _golden("tiny_perlane_seed5")
+    )
+
+
+def test_fused_default_sampled_matches_live_oracle():
+    """Live (non-golden) pin of the per-lane default: mega ≡ the oracle's
+    NumPy hash re-derivation run fresh."""
+    params = init_params(jax.random.key(0), TINY)
+    want = fifo_generate(
+        params, TINY, jax.random.key(33), 2, 256, temperature=1.0,
+        perlane=True,
+    )
+    got = generate_classes(
+        params, TINY, jax.random.key(33), 2, 256, temperature=1.0,
+        engine="mega",
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_primed_sampled_matches_oracle_golden():
     """Primed then free-running SAMPLED: the RNG chain must keep splitting
     during the forced prefix exactly like the oracle does."""
@@ -192,3 +240,81 @@ def test_training_trajectory_matches_golden(tmp_path):
         tm.MetricsLogger.log = orig
     want = np.load(LEGACY_GOLDEN)["train_losses"]
     np.testing.assert_allclose(np.asarray(losses), want, rtol=1e-6)
+
+
+def test_pool_recycled_lane_sampled_matches_oracle():
+    """Streaming + reset golden (VERDICT r2 item 9): a mega SessionPool
+    request landing on a RECYCLED lane mid-stream, sampled with a pinned
+    per-lane seed, reproduces the INDEPENDENT NumPy oracle's dedicated
+    free-running session for that seed — the whole serving stack (chunked
+    mega kernel, reset_lanes state surgery, per-lane hash) pinned against
+    an external re-derivation."""
+    from lb_wavenet_tpu.serving import SessionPool
+
+    params = init_params(jax.random.key(0), TINY)
+    CH = 16
+    pool = SessionPool(params, TINY, batch=2, rng=jax.random.key(3),
+                       engine="mega", chunk_size=CH, temperature=1.0)
+    assert pool.submit("warm0", n_samples=CH, seed=11)
+    assert pool.submit("warm1", n_samples=2 * CH, seed=12)
+    got = {}
+    submitted = False
+    for _ in range(40):
+        if not pool.active and submitted:
+            break
+        for rid, (cls, fin) in pool.step().items():
+            got.setdefault(rid, []).append(cls)
+        if not submitted and pool.free_lanes() > 0:
+            submitted = pool.submit("pinned", n_samples=3 * CH, seed=4242)
+    assert submitted and not pool.active
+    pooled = np.concatenate(got["pinned"])
+
+    want = fifo_generate(
+        params, TINY, jax.random.key(0), 1, 3 * CH, temperature=1.0,
+        perlane_seeds=np.asarray([4242]),
+    )[0]
+    np.testing.assert_array_equal(pooled, want)
+
+
+def test_training_trajectory_50_steps_with_eval(tmp_path):
+    """Long-horizon training pin (VERDICT r2 item 9): 50 fixed-seed steps
+    of the full slice (windowing, masked CE, Adam) plus a held-out eval —
+    loss curve AND eval metrics against the checked-in golden."""
+    from lb_wavenet_tpu.config import Config, TrainConfig
+    from lb_wavenet_tpu.data import synthetic_corpus
+    from lb_wavenet_tpu.eval import evaluate
+    import lb_wavenet_tpu.train as tm
+
+    cfg = Config(
+        arch=TINY,
+        train=TrainConfig(
+            batch_size=4, mesh_data=4, window_size=256, n_steps=50,
+            log_every=10, checkpoint_every=1000,
+            checkpoint_dir=str(tmp_path / "ck"),
+            learning_rate=1e-3, seed=0,
+        ),
+    )
+    corpus = synthetic_corpus(cfg.arch, cfg.train.window_size, n_files=2,
+                              file_len=4000)
+    losses = []
+    orig = tm.MetricsLogger.log
+
+    def cap(self, **kw):
+        if "loss" in kw:
+            losses.append(kw["loss"])
+        orig(self, **kw)
+
+    tm.MetricsLogger.log = cap
+    try:
+        state = tm.run_training(cfg, corpus=corpus)
+    finally:
+        tm.MetricsLogger.log = orig
+    ev = evaluate(state.params, cfg.arch, corpus, 4, max_batches=2)
+    golden = np.load(os.path.join(
+        os.path.dirname(__file__), "goldens", "train_traj50.npz"
+    ))
+    np.testing.assert_allclose(np.asarray(losses), golden["losses"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        [ev["nll"], ev["accuracy"]], golden["eval"], rtol=1e-5
+    )
