@@ -205,8 +205,13 @@ def forward(
     input_mask: Optional[jnp.ndarray] = None,
     remat: bool = False,
     cond: Optional[jnp.ndarray] = None,
+    return_skip: bool = False,
 ) -> jnp.ndarray:
     """Teacher-forced forward: classes (B, T) -> logits (B, T, Q).
+
+    return_skip=True returns the pre-post-network skip accumulator
+    (B, T, S) instead — the hook the fused post+loss kernel
+    (ops/pallas/post_loss.py, TrainConfig.fused_post) consumes.
 
     logits[:, t] is the categorical distribution over sample t+1. The layer
     loop is unrolled in Python (L is static and small) so every dilation's
@@ -265,6 +270,8 @@ def forward(
         (((0, 3), (0, 1)), ((), ())),  # contract (l, g) -> (B, T, S)
         preferred_element_type=jnp.float32,
     ) + jnp.sum(params["layers"]["b_skip"], axis=0)
+    if return_skip:
+        return skip_sum
     return post_network(params, skip_sum, dtype)
 
 

@@ -120,7 +120,7 @@ def init_state(rng, arch: ArchConfig, train: TrainConfig) -> TrainState:
 
 
 def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
-                  fused_stack: bool, tapcat: bool):
+                  fused_stack: bool, tapcat: bool, return_skip: bool = False):
     if fused_stack:
         return forward_fused(
             params,
@@ -129,6 +129,7 @@ def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
             cond_frames=batch.get("mel"),
             speaker_ids=batch.get("speaker"),
             tapcat=tapcat,
+            return_skip=return_skip,
         )
     return forward(
         params,
@@ -137,6 +138,38 @@ def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
         cond_frames=batch.get("mel"),
         speaker_ids=batch.get("speaker"),
         remat=remat,
+        return_skip=return_skip,
+    )
+
+
+def loss_sums_fn(params, arch: ArchConfig, window_size: int, batch: dict,
+                 train: TrainConfig):
+    """(masked-CE numerator, mask denominator) for one (micro)batch.
+
+    TrainConfig.fused_post routes the post-network + CE through the fused
+    Pallas kernel pair (ops/pallas/post_loss.py): the (B, T, S) hidden /
+    (B, T, Q) logits / softmax tensors never leave VMEM and the head
+    (unscored receptive-field context) tiles are skipped statically. The
+    denominator carries no parameter dependence either way.
+    """
+    if train.fused_post:
+        from .ops.pallas.post_loss import fused_post_loss
+
+        skip = _batch_logits(
+            params, arch, batch, train.remat, train.fused_stack,
+            train.tapcat, return_skip=True,
+        )
+        num = fused_post_loss(
+            params["post"], skip, batch["targets"], batch["mask"],
+            window_size, compute_dtype=arch.compute_dtype,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return num, jnp.sum(batch["mask"].astype(jnp.float32))
+    logits = _batch_logits(
+        params, arch, batch, train.remat, train.fused_stack, train.tapcat
+    )
+    return masked_loss_sums(
+        logits, batch["targets"], batch["mask"], window_size
     )
 
 
@@ -149,7 +182,7 @@ def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
 
 def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
                   speaker_ids=None, tapcat=False, cond=None,
-                  input_mask=None):
+                  input_mask=None, return_skip=False):
     """forward() with the dilated stack replaced by the fused Pallas
     training kernel (ops/pallas/train_stack.py). Same logits (parity-tested),
     ~3x less activation HBM traffic.
@@ -204,6 +237,8 @@ def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
         skip_sum = fused(lp, h0, cond, input_mask.astype(jnp.float32))
     else:
         skip_sum = fused(lp, h0, cond)
+    if return_skip:
+        return skip_sum
     return post_network(params, skip_sum, dtype)
 
 
@@ -233,10 +268,12 @@ def train_step(
 ):
     if train.grad_accum > 1:
         return _accum_train_step(state, batch, arch, train)
-    loss, grads = jax.value_and_grad(loss_fn)(
-        state.params, arch, train.window_size, batch, train.remat,
-        train.fused_stack, train.tapcat,
-    )
+
+    def lf(params):
+        num, den = loss_sums_fn(params, arch, train.window_size, batch, train)
+        return num / jnp.maximum(den, 1.0)
+
+    loss, grads = jax.value_and_grad(lf)(state.params)
     return _apply_updates(state, grads, train), loss
 
 
@@ -266,14 +303,7 @@ def _accum_train_step(
     xs = {key: strided(v) for key, v in batch.items()}
 
     def num_fn(params, micro):
-        logits = _batch_logits(
-            params, arch, micro, train.remat, train.fused_stack,
-            train.tapcat,
-        )
-        num, den = masked_loss_sums(
-            logits, micro["targets"], micro["mask"], train.window_size
-        )
-        return num, den
+        return loss_sums_fn(params, arch, train.window_size, micro, train)
 
     def body(carry, micro):
         g_acc, num_acc, den_acc = carry
@@ -307,6 +337,14 @@ def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
     the exact masked-mean numerator like _accum_train_step.
     """
     from .parallel.halo import sequence_parallel_loss_sums
+
+    if train.fused_post:
+        raise ValueError(
+            "fused_post covers windowed training; the sequence-parallel "
+            "loss keeps the XLA post-network (each time shard's logits "
+            "are a slice — see parallel/halo.py). Set fused_post=false "
+            "with seq_parallel."
+        )
 
     def sums(params, batch):
         return sequence_parallel_loss_sums(

@@ -164,3 +164,94 @@ def test_fused_train_step_matches_xla_train_step():
             states[0].params,
             states[i].params,
         )
+
+
+def test_fused_post_loss_matches_xla_loss_and_grads():
+    """fused_post (ops/pallas/post_loss.py): loss value and EVERY gradient
+    (post weights, stack weights via dskip, embeddings via dh0) track the
+    XLA post+CE path — interpret mode, fp32, boundary-masked batch."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.train import loss_sums_fn
+
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=32, gate_channels=16, compute_dtype="float32",
+    )
+    w, b = 200, 3
+    r = arch.receptive_field
+    rng = np.random.default_rng(3)
+    batch = {
+        "inputs": jnp.asarray(rng.integers(0, 256, (b, r - 1 + w)), jnp.int32),
+        "targets": jnp.asarray(rng.integers(0, 256, (b, w)), jnp.int32),
+        "mask": jnp.asarray((rng.random((b, w)) > 0.15).astype(np.float32)),
+    }
+    params = init_params(jax.random.key(0), arch)
+
+    def val_grads(tr):
+        def lf(p):
+            num, den = loss_sums_fn(p, arch, w, batch, tr)
+            return num / jnp.maximum(den, 1.0)
+
+        return jax.value_and_grad(lf)(params)
+
+    for stack in (False, True):
+        lx, gx = val_grads(TrainConfig(
+            batch_size=b, window_size=w, fused_stack=stack, tapcat=stack,
+        ))
+        lf_, gf = val_grads(TrainConfig(
+            batch_size=b, window_size=w, fused_stack=stack, tapcat=stack,
+            fused_post=True,
+        ))
+        assert abs(float(lx) - float(lf_)) < 2e-5, stack
+        fx, _ = jax.flatten_util.ravel_pytree(gx)
+        ff, _ = jax.flatten_util.ravel_pytree(gf)
+        np.testing.assert_allclose(
+            np.asarray(ff), np.asarray(fx), rtol=2e-4, atol=2e-6,
+            err_msg=f"fused_stack={stack}",
+        )
+
+
+def test_fused_post_grad_accum_matches_one_shot():
+    """grad_accum with fused_post: the num/den accumulation stays exact
+    (loss equal to the one-shot step; params track to tolerance)."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.train import init_state, train_step
+
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=32, gate_channels=16, compute_dtype="float32",
+    )
+    w, b = 96, 4
+    r = arch.receptive_field
+    rng = np.random.default_rng(5)
+    batch = {
+        "inputs": jnp.asarray(rng.integers(0, 256, (b, r - 1 + w)), jnp.int32),
+        "targets": jnp.asarray(rng.integers(0, 256, (b, w)), jnp.int32),
+        "mask": jnp.ones((b, w), jnp.float32),
+    }
+    outs = []
+    for accum in (1, 2):
+        tr = TrainConfig(
+            batch_size=b, window_size=w, learning_rate=1e-3,
+            fused_stack=True, tapcat=True, fused_post=True,
+            grad_accum=accum,
+        )
+        state = init_state(jax.random.key(1), arch, tr)
+        state, loss = train_step(state, batch, arch, tr)
+        outs.append((float(loss), state.params))
+    assert abs(outs[0][0] - outs[1][0]) < 1e-5
+    a, _ = jax.flatten_util.ravel_pytree(outs[0][1])
+    c, _ = jax.flatten_util.ravel_pytree(outs[1][1])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5)
+
+
+def test_fused_post_rejected_in_sequence_parallel():
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.parallel.mesh import make_mesh
+    from lb_wavenet_tpu.train import make_sp_train_step
+
+    with pytest.raises(ValueError, match="fused_post"):
+        make_sp_train_step(
+            make_mesh(1, 1, devices=jax.devices()[:1]), MICRO,
+            TrainConfig(seq_parallel=True, fused_post=True),
+        )
