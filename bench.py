@@ -294,14 +294,16 @@ def _train_mode() -> int:
     # windowed step (the multi-chip halo ppermute adds only the R-1-sample
     # neighbor exchange on top).
     sp = os.environ.get("BENCH_SP", "") == "1"
-    # BENCH_FUSED_POST=0 reverts the post-network+CE to the XLA path (A/B
-    # for the round-3 fused post+loss kernel; SP keeps the XLA post).
+    # BENCH_FUSED_POST=0 / BENCH_MM_EMBED=0 revert the round-3 tail
+    # optimizations (fused post+CE kernel; one-hot embed grad) to the XLA
+    # paths for A/B; SP keeps the XLA post.
     fused_post = (
         os.environ.get("BENCH_FUSED_POST", "1") == "1" and not sp
     )
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=True, tapcat=True,
         grad_accum=accum, seq_parallel=sp, fused_post=fused_post,
+        mm_embed_grad=os.environ.get("BENCH_MM_EMBED", "1") == "1",
     )
     state = init_state(jax.random.key(0), arch, train)
     r = arch.receptive_field

@@ -131,6 +131,11 @@ class TrainConfig:
     # the XLA path to float tolerance (reduction order differs). Windowed
     # training only (seq_parallel keeps the XLA post).
     fused_post: bool = False
+    # Embedding-gradient via a blocked one-hot MXU contraction instead of
+    # the gather's scatter-add VJP (models/wavenet.embed_lookup_mm);
+    # HIGHEST-precision contraction == scatter to f32 rounding. Measured
+    # faster on-chip (scripts/frontend_ab.py).
+    mm_embed_grad: bool = False
     # Gradient accumulation: split each batch into grad_accum microbatches
     # scanned inside ONE jitted step (peak activation memory drops
     # ~grad_accum-fold; the masked-mean loss/grads are EXACT — per-micro

@@ -120,7 +120,8 @@ def init_state(rng, arch: ArchConfig, train: TrainConfig) -> TrainState:
 
 
 def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
-                  fused_stack: bool, tapcat: bool, return_skip: bool = False):
+                  fused_stack: bool, tapcat: bool, return_skip: bool = False,
+                  mm_embed_grad: bool = False):
     if fused_stack:
         return forward_fused(
             params,
@@ -130,6 +131,7 @@ def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
             speaker_ids=batch.get("speaker"),
             tapcat=tapcat,
             return_skip=return_skip,
+            mm_embed_grad=mm_embed_grad,
         )
     return forward(
         params,
@@ -139,6 +141,7 @@ def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
         speaker_ids=batch.get("speaker"),
         remat=remat,
         return_skip=return_skip,
+        mm_embed_grad=mm_embed_grad,
     )
 
 
@@ -158,6 +161,7 @@ def loss_sums_fn(params, arch: ArchConfig, window_size: int, batch: dict,
         skip = _batch_logits(
             params, arch, batch, train.remat, train.fused_stack,
             train.tapcat, return_skip=True,
+            mm_embed_grad=train.mm_embed_grad,
         )
         num = fused_post_loss(
             params["post"], skip, batch["targets"], batch["mask"],
@@ -166,7 +170,8 @@ def loss_sums_fn(params, arch: ArchConfig, window_size: int, batch: dict,
         )
         return num, jnp.sum(batch["mask"].astype(jnp.float32))
     logits = _batch_logits(
-        params, arch, batch, train.remat, train.fused_stack, train.tapcat
+        params, arch, batch, train.remat, train.fused_stack, train.tapcat,
+        mm_embed_grad=train.mm_embed_grad,
     )
     return masked_loss_sums(
         logits, batch["targets"], batch["mask"], window_size
@@ -182,7 +187,7 @@ def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
 
 def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
                   speaker_ids=None, tapcat=False, cond=None,
-                  input_mask=None, return_skip=False):
+                  input_mask=None, return_skip=False, mm_embed_grad=False):
     """forward() with the dilated stack replaced by the fused Pallas
     training kernel (ops/pallas/train_stack.py). Same logits (parity-tested),
     ~3x less activation HBM traffic.
@@ -227,7 +232,8 @@ def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
             (x_classes.shape[0], x_classes.shape[1], 1), jnp.float32
         )
     h0 = input_frontend(
-        params, arch, x_classes, dtype, input_mask=input_mask
+        params, arch, x_classes, dtype, input_mask=input_mask,
+        mm_embed_grad=mm_embed_grad,
     )
     fused = make_fused_stack(
         arch, has_cond=has_cond, interpret=jax.default_backend() == "cpu",

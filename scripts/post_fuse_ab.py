@@ -49,10 +49,14 @@ def main() -> int:
     }
 
     variants = {}
-    for name, fp in (("xla_post", False), ("fused_post", True)):
+    for name, fp, mm in (
+        ("xla_post", False, False),
+        ("fused_post", True, False),
+        ("fused_post_mm", True, True),
+    ):
         tr = TrainConfig(
             batch_size=batch, window_size=window, fused_stack=True,
-            tapcat=True, grad_accum=accum, fused_post=fp,
+            tapcat=True, grad_accum=accum, fused_post=fp, mm_embed_grad=mm,
         )
         state = init_state(jax.random.key(0), arch, tr)
         variants[name] = [tr, state]
@@ -93,12 +97,12 @@ def main() -> int:
             "median_ms": round(1e3 * med, 2),
             "samples_per_sec_best": round(batch * window / best),
         }
-    out["speedup_best"] = round(
-        out["xla_post"]["best_ms"] / out["fused_post"]["best_ms"], 4
-    )
-    out["speedup_median"] = round(
-        out["xla_post"]["median_ms"] / out["fused_post"]["median_ms"], 4
-    )
+    for name in variants:
+        if name == "xla_post":
+            continue
+        out[f"speedup_{name}"] = round(
+            out["xla_post"]["median_ms"] / out[name]["median_ms"], 4
+        )
     print(json.dumps(out))
     return 0
 

@@ -255,3 +255,41 @@ def test_fused_post_rejected_in_sequence_parallel():
             make_mesh(1, 1, devices=jax.devices()[:1]), MICRO,
             TrainConfig(seq_parallel=True, fused_post=True),
         )
+
+
+def test_mm_embed_grad_matches_scatter_grad():
+    """TrainConfig.mm_embed_grad (one-hot MXU contraction instead of the
+    gather's scatter-add VJP): forward identical, every gradient equal to
+    f32 rounding — the HIGHEST-precision one-hot contraction is exact."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.train import loss_sums_fn
+
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=32, gate_channels=16, compute_dtype="float32",
+    )
+    w, b = 150, 3
+    r = arch.receptive_field
+    rng = np.random.default_rng(0)
+    batch = {
+        "inputs": jnp.asarray(rng.integers(0, 256, (b, r - 1 + w)), jnp.int32),
+        "targets": jnp.asarray(rng.integers(0, 256, (b, w)), jnp.int32),
+        "mask": jnp.ones((b, w), jnp.float32),
+    }
+    params = init_params(jax.random.key(0), arch)
+
+    def grads(mm):
+        tr = TrainConfig(batch_size=b, window_size=w, mm_embed_grad=mm)
+
+        def lf(p):
+            num, den = loss_sums_fn(p, arch, w, batch, tr)
+            return num / jnp.maximum(den, 1.0)
+
+        return jax.value_and_grad(lf)(params)
+
+    l0, g0 = grads(False)
+    l1, g1 = grads(True)
+    assert float(l0) == float(l1)
+    f0, _ = jax.flatten_util.ravel_pytree(g0)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-7)
