@@ -783,11 +783,12 @@ def cmd_serve(args) -> int:
         # Replayable per-request sampling is the default; gen.global_rng
         # opts the pool out to the session-global chain.
         per_lane_rng=not cfg.gen.global_rng,
-        # Double-buffered dispatch/delivery (bit-identical output). Opt-in:
-        # measured on THIS image's remote-TPU relay it p50-improves chunk
-        # latency (70 vs 91 ms) but head-of-line-blocks the D2H fetch behind
-        # queued compute with multi-second p99 stalls (BASELINE.md); on a
-        # directly-attached chip the overlap is the right default.
+        # Double-buffered dispatch/delivery (bit-identical output), ON by
+        # default since round 3: with uint8 delivery the relay no longer
+        # head-of-line-blocks (p99 77.7 vs serial 74.9 ms; round-2's
+        # multi-second p99 stalls were the 4x-larger int32 payload), and
+        # the overlap is a 1.43x wall win (569 vs 398 delivered
+        # audio-sec/sec, BASELINE.md round-3). --no-pipeline reverts.
         pipeline=args.pipeline,
     )
     os.makedirs(cfg.gen.out_dir, exist_ok=True)
@@ -1073,10 +1074,10 @@ def main(argv=None) -> int:
         help="samples emitted per pool step (default 1024)",
     )
     p_serve.add_argument(
-        "--pipeline", action="store_true",
+        "--pipeline", action=argparse.BooleanOptionalAction, default=True,
         help="double-buffer the serving loop (dispatch chunk t+1 while "
-        "delivering chunk t; bit-identical output — see docs/serving.md "
-        "for when this wins)",
+        "delivering chunk t; bit-identical output; ON by default — "
+        "--no-pipeline serializes dispatch and delivery)",
     )
     p_warm = sub.add_parser(
         "warm",
