@@ -136,6 +136,14 @@ class TrainConfig:
     # HIGHEST-precision contraction == scatter to f32 rounding. Measured
     # faster on-chip (scripts/frontend_ab.py).
     mm_embed_grad: bool = False
+    # Fuse the whole input frontend (one-hot MXU embedding + width-K causal
+    # input conv, fwd AND bwd) into a Pallas kernel pair
+    # (ops/pallas/frontend.py): the embed gather, the tap matmuls, and the
+    # embedding-grad machinery (incl. mm_embed_grad's chunked scan and its
+    # weight-layout staging copies) collapse into one kernel per pass.
+    # Bit-exact vs the XLA frontend for bf16 compute; subsumes
+    # mm_embed_grad when enabled. Supports the seq_parallel input mask.
+    fused_frontend: bool = False
     # Gradient accumulation: split each batch into grad_accum microbatches
     # scanned inside ONE jitted step (peak activation memory drops
     # ~grad_accum-fold; the masked-mean loss/grads are EXACT — per-micro

@@ -213,6 +213,7 @@ def input_frontend(
     dtype,
     input_mask: Optional[jnp.ndarray] = None,
     mm_embed_grad: bool = False,
+    fused_frontend: bool = False,
 ) -> jnp.ndarray:
     """Embed classes and apply the width-K causal input conv. (B,T) -> (B,T,C).
 
@@ -224,7 +225,20 @@ def input_frontend(
     unsharded forward's shift_right pads ACTIVATION zeros — so the frontend
     output is re-masked here and forward() re-masks the residual stream
     after every layer.
+
+    fused_frontend routes the whole thing (fwd + grads) through the Pallas
+    kernel pair in ops/pallas/frontend.py — bit-exact for bf16 compute,
+    subsumes mm_embed_grad (TrainConfig.fused_frontend).
     """
+    if fused_frontend:
+        from ..ops.pallas.frontend import fused_frontend as _ff
+
+        return _ff(
+            params["embed"], params["input_conv"], x_classes,
+            input_mask=input_mask,
+            compute_dtype=str(jnp.dtype(dtype)),
+            interpret=jax.default_backend() == "cpu",
+        )
     if mm_embed_grad:
         e = embed_lookup_mm(params["embed"], x_classes)  # (B, T, C)
     else:
@@ -260,6 +274,7 @@ def forward(
     cond: Optional[jnp.ndarray] = None,
     return_skip: bool = False,
     mm_embed_grad: bool = False,
+    fused_frontend: bool = False,
 ) -> jnp.ndarray:
     """Teacher-forced forward: classes (B, T) -> logits (B, T, Q).
 
@@ -296,7 +311,7 @@ def forward(
 
     h = input_frontend(
         params, arch, x_classes, dtype, input_mask=input_mask,
-        mm_embed_grad=mm_embed_grad,
+        mm_embed_grad=mm_embed_grad, fused_frontend=fused_frontend,
     )
     def one_layer(h, i, d):
         h_new, z = gated_unit(

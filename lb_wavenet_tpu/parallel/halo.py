@@ -36,7 +36,8 @@ from ..models.wavenet import forward
 
 def _sp_local_logits(params, x_local, cond_local=None, speaker_ids=None, *,
                      arch: ArchConfig, axis_name: str, remat: bool = False,
-                     fused_stack: bool = False, tapcat: bool = False):
+                     fused_stack: bool = False, tapcat: bool = False,
+                     fused_frontend: bool = False):
     """Logits for this shard's chunk, exact vs the unsharded forward.
 
     x_local: (B, T_local) classes; cond_local: optional (B, T_local, Cc)
@@ -80,12 +81,13 @@ def _sp_local_logits(params, x_local, cond_local=None, speaker_ids=None, *,
 
         logits_ext = forward_fused(
             params, arch, x_ext, cond=cond_ext, speaker_ids=speaker_ids,
-            tapcat=tapcat, input_mask=mask,
+            tapcat=tapcat, input_mask=mask, fused_frontend=fused_frontend,
         )
     else:
         logits_ext = forward(
             params, arch, x_ext, input_mask=mask, cond=cond_ext,
             speaker_ids=speaker_ids, remat=remat,
+            fused_frontend=fused_frontend,
         )
     return logits_ext[:, halo:]
 
@@ -151,6 +153,7 @@ def sequence_parallel_logits(
     remat: bool = False,
     fused_stack: bool = False,
     tapcat: bool = False,
+    fused_frontend: bool = False,
 ) -> jnp.ndarray:
     """Time-sharded teacher-forced forward over `mesh[axis_name]`.
 
@@ -182,6 +185,7 @@ def sequence_parallel_logits(
         return _sp_local_logits(
             params, x_l, cond_l, spk, arch=arch, axis_name=axis_name,
             remat=remat, fused_stack=fused_stack, tapcat=tapcat,
+            fused_frontend=fused_frontend,
         )
 
     fn = shard_map(
@@ -205,6 +209,7 @@ def sequence_parallel_loss_sums(
     remat: bool = False,
     fused_stack: bool = False,
     tapcat: bool = False,
+    fused_frontend: bool = False,
 ) -> tuple:
     """(sum of masked CE, sum of mask) over a time-sharded window — the
     accumulable form (cf. models.wavenet.masked_loss_sums) that SP gradient
@@ -240,6 +245,7 @@ def sequence_parallel_loss_sums(
         logits = _sp_local_logits(
             params, x_l, cond_l, spk, arch=arch, axis_name=axis_name,
             remat=remat, fused_stack=fused_stack, tapcat=tapcat,
+            fused_frontend=fused_frontend,
         )
         ce = -jax.nn.log_softmax(logits, axis=-1)
         ce = jnp.take_along_axis(ce, tgt_l[..., None], axis=-1)[..., 0]

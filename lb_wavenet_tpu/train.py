@@ -121,7 +121,7 @@ def init_state(rng, arch: ArchConfig, train: TrainConfig) -> TrainState:
 
 def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
                   fused_stack: bool, tapcat: bool, return_skip: bool = False,
-                  mm_embed_grad: bool = False):
+                  mm_embed_grad: bool = False, fused_frontend: bool = False):
     if fused_stack:
         return forward_fused(
             params,
@@ -132,6 +132,7 @@ def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
             tapcat=tapcat,
             return_skip=return_skip,
             mm_embed_grad=mm_embed_grad,
+            fused_frontend=fused_frontend,
         )
     return forward(
         params,
@@ -142,6 +143,7 @@ def _batch_logits(params, arch: ArchConfig, batch: dict, remat: bool,
         remat=remat,
         return_skip=return_skip,
         mm_embed_grad=mm_embed_grad,
+        fused_frontend=fused_frontend,
     )
 
 
@@ -162,6 +164,7 @@ def loss_sums_fn(params, arch: ArchConfig, window_size: int, batch: dict,
             params, arch, batch, train.remat, train.fused_stack,
             train.tapcat, return_skip=True,
             mm_embed_grad=train.mm_embed_grad,
+            fused_frontend=train.fused_frontend,
         )
         num = fused_post_loss(
             params["post"], skip, batch["targets"], batch["mask"],
@@ -172,6 +175,7 @@ def loss_sums_fn(params, arch: ArchConfig, window_size: int, batch: dict,
     logits = _batch_logits(
         params, arch, batch, train.remat, train.fused_stack, train.tapcat,
         mm_embed_grad=train.mm_embed_grad,
+        fused_frontend=train.fused_frontend,
     )
     return masked_loss_sums(
         logits, batch["targets"], batch["mask"], window_size
@@ -187,7 +191,8 @@ def loss_fn(params, arch: ArchConfig, window_size: int, batch: dict,
 
 def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
                   speaker_ids=None, tapcat=False, cond=None,
-                  input_mask=None, return_skip=False, mm_embed_grad=False):
+                  input_mask=None, return_skip=False, mm_embed_grad=False,
+                  fused_frontend=False):
     """forward() with the dilated stack replaced by the fused Pallas
     training kernel (ops/pallas/train_stack.py). Same logits (parity-tested),
     ~3x less activation HBM traffic.
@@ -233,7 +238,7 @@ def forward_fused(params, arch: ArchConfig, x_classes, cond_frames=None,
         )
     h0 = input_frontend(
         params, arch, x_classes, dtype, input_mask=input_mask,
-        mm_embed_grad=mm_embed_grad,
+        mm_embed_grad=mm_embed_grad, fused_frontend=fused_frontend,
     )
     fused = make_fused_stack(
         arch, has_cond=has_cond, interpret=jax.default_backend() == "cpu",
@@ -361,6 +366,7 @@ def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
             remat=train.remat,
             fused_stack=train.fused_stack,
             tapcat=train.tapcat,
+            fused_frontend=train.fused_frontend,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -63,7 +63,9 @@ def main() -> int:
     steps = int(os.environ.get("TP_STEPS", "6"))
     out_dir = os.environ.get("TP_DIR", "/tmp/wavenet_train_profile")
     train = TrainConfig(
-        batch_size=batch, window_size=window, fused_stack=True, tapcat=True
+        batch_size=batch, window_size=window, fused_stack=True, tapcat=True,
+        fused_post=os.environ.get("TP_FUSED_POST", "1") == "1",
+        mm_embed_grad=os.environ.get("TP_MM_EMBED", "1") == "1",
     )
     state = init_state(jax.random.key(0), arch, train)
     r = arch.receptive_field
@@ -127,6 +129,10 @@ def main() -> int:
         "breakdown": breakdown,
         "xplane": xplanes[-1] if xplanes else None,
         "planes_found": sorted(planes),
+        "device_top_ops": [
+            {"op": it["op"][:96], "ms_per_step": round(it["ms"] / steps, 3)}
+            for it in dev[:20]
+        ],
         "backend": jax.default_backend(),
     }))
     return 0

@@ -478,3 +478,44 @@ def test_sp_run_training_fused_accum_end_to_end(tmp_path):
     corpus = synthetic_corpus(cfg.arch, 41, n_files=2, file_len=300)
     state = run_training(cfg, corpus=corpus)
     assert int(state.step) == 3
+
+
+def test_sp_fused_frontend_matches_unsharded():
+    """fused_frontend in the SP path: the frontend kernel's in-kernel input
+    mask reproduces the halo zeroing — logits and grads match the
+    unsharded forward (MICRO is f32-compute, so parity is tight)."""
+    from lb_wavenet_tpu.parallel.halo import (
+        sequence_parallel_logits, sequence_parallel_loss,
+    )
+
+    params, x, mesh = _setup()
+    ref = jax.jit(lambda p, x: forward(p, MICRO, x))(params, x)
+    sp = jax.jit(
+        lambda p, x: sequence_parallel_logits(
+            p, MICRO, x, mesh, fused_stack=True, tapcat=True,
+            fused_frontend=True,
+        )
+    )(params, x)
+    np.testing.assert_allclose(
+        np.asarray(sp), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    tgt = jax.random.randint(jax.random.key(2), x.shape, 0, 256)
+    msk = np.ones(x.shape, np.float32)
+
+    def lf(p, ff):
+        return sequence_parallel_loss(
+            p, MICRO, x, tgt, msk, mesh, fused_stack=True, tapcat=True,
+            fused_frontend=ff,
+        )
+
+    l_x, g_x = jax.jit(jax.value_and_grad(lambda p: lf(p, False)))(params)
+    l_f, g_f = jax.jit(jax.value_and_grad(lambda p: lf(p, True)))(params)
+    np.testing.assert_allclose(float(l_x), float(l_f), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        ),
+        g_x,
+        g_f,
+    )

@@ -293,3 +293,116 @@ def test_mm_embed_grad_matches_scatter_grad():
     f0, _ = jax.flatten_util.ravel_pytree(g0)
     f1, _ = jax.flatten_util.ravel_pytree(g1)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=1e-7)
+
+
+def test_fused_frontend_forward_bitexact():
+    """fused_frontend (ops/pallas/frontend.py): the one-hot MXU embedding +
+    width-K causal conv kernel is BIT-EXACT vs input_frontend — bf16 and
+    f32 compute, K in {1, 2, 3}, with and without the SP input mask."""
+    rng = np.random.default_rng(0)
+    for dtype in ("bfloat16", "float32"):
+        for k in (1, 2, 3):
+            arch = ArchConfig(
+                n_blocks=2, n_layers_per_block=3, residual_channels=16,
+                skip_channels=32, gate_channels=16, input_kernel=k,
+                compute_dtype=dtype,
+            )
+            params = init_params(jax.random.key(k), arch)
+            x = jnp.asarray(rng.integers(0, 256, (2, 210)), jnp.int32)
+            mask = jnp.asarray(
+                (rng.random((2, 210)) > 0.3).astype(np.float32)
+            )
+            dt = jnp.dtype(dtype)
+            for m in (None, mask):
+                ref = input_frontend(params, arch, x, dt, input_mask=m)
+                got = input_frontend(
+                    params, arch, x, dt, input_mask=m, fused_frontend=True
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(ref), np.asarray(got),
+                    err_msg=f"dtype={dtype} K={k} mask={m is not None}",
+                )
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_fused_frontend_grads(use_mask):
+    """Gradient parity: d_embed element-exact (the kernel replicates the
+    XLA VJP's per-tap compute-dtype cotangent rounding before the exact
+    one-hot transpose contraction), d_b to summation order, d_w within one
+    compute-dtype ulp (the kernel keeps the f32 tile-sum that XLA rounds)."""
+    rng = np.random.default_rng(7)
+    for dtype, w_tol in (("float32", 3e-6), ("bfloat16", 2e-2)):
+        arch = ArchConfig(
+            n_blocks=2, n_layers_per_block=3, residual_channels=16,
+            skip_channels=32, gate_channels=16, input_kernel=2,
+            compute_dtype=dtype,
+        )
+        params = init_params(jax.random.key(1), arch)
+        x = jnp.asarray(rng.integers(0, 256, (2, 300)), jnp.int32)
+        mask = (
+            jnp.asarray((rng.random((2, 300)) > 0.3).astype(np.float32))
+            if use_mask else None
+        )
+        dt = jnp.dtype(dtype)
+        probe = jnp.asarray(
+            rng.standard_normal((2, 300, 16)), jnp.float32
+        )
+
+        def loss(p, fused):
+            h = input_frontend(
+                p, arch, x, dt, input_mask=mask, fused_frontend=fused
+            )
+            return jnp.sum(h * probe)
+
+        g_ref = jax.grad(lambda p: loss(p, False))(params)
+        g_new = jax.grad(lambda p: loss(p, True))(params)
+        np.testing.assert_array_equal(
+            np.asarray(g_ref["embed"]), np.asarray(g_new["embed"]),
+            err_msg=f"d_embed dtype={dtype}",
+        ) if dtype == "bfloat16" else np.testing.assert_allclose(
+            np.asarray(g_ref["embed"]), np.asarray(g_new["embed"]),
+            atol=1e-5, err_msg=f"d_embed dtype={dtype}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_ref["input_conv"]["b"]),
+            np.asarray(g_new["input_conv"]["b"]), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_ref["input_conv"]["w"]),
+            np.asarray(g_new["input_conv"]["w"]), atol=w_tol,
+            err_msg=f"d_w dtype={dtype}",
+        )
+
+
+def test_fused_frontend_train_step_matches():
+    """Full production-recipe step (fused_stack+tapcat+fused_post+
+    fused_frontend) tracks the same step with the XLA frontend."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.train import init_state, train_step
+
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=32, gate_channels=16, compute_dtype="float32",
+    )
+    w, b = 96, 2
+    r = arch.receptive_field
+    rng = np.random.default_rng(11)
+    batch = {
+        "inputs": jnp.asarray(rng.integers(0, 256, (b, r - 1 + w)), jnp.int32),
+        "targets": jnp.asarray(rng.integers(0, 256, (b, w)), jnp.int32),
+        "mask": jnp.ones((b, w), jnp.float32),
+    }
+    outs = []
+    for ff in (False, True):
+        tr = TrainConfig(
+            batch_size=b, window_size=w, learning_rate=1e-3,
+            fused_stack=True, tapcat=True, fused_post=True,
+            fused_frontend=ff,
+        )
+        state = init_state(jax.random.key(2), arch, tr)
+        state, loss = train_step(state, batch, arch, tr)
+        outs.append((float(loss), state.params))
+    assert abs(outs[0][0] - outs[1][0]) < 1e-5
+    a, _ = jax.flatten_util.ravel_pytree(outs[0][1])
+    c, _ = jax.flatten_util.ravel_pytree(outs[1][1])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5)
