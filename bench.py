@@ -300,10 +300,20 @@ def _train_mode() -> int:
     fused_post = (
         os.environ.get("BENCH_FUSED_POST", "1") == "1" and not sp
     )
+    # BENCH_FUSED_FRONTEND=0 reverts the round-3 frontend kernel pair
+    # (one-hot MXU embed + input conv, ops/pallas/frontend.py) to the
+    # mm_embed_grad XLA frontend for A/B.
+    fused_frontend = (
+        os.environ.get("BENCH_FUSED_FRONTEND", "1") == "1" and not sp
+    )
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=True, tapcat=True,
         grad_accum=accum, seq_parallel=sp, fused_post=fused_post,
-        mm_embed_grad=os.environ.get("BENCH_MM_EMBED", "1") == "1",
+        fused_frontend=fused_frontend,
+        mm_embed_grad=(
+            os.environ.get("BENCH_MM_EMBED", "1") == "1"
+            and not fused_frontend
+        ),
     )
     state = init_state(jax.random.key(0), arch, train)
     r = arch.receptive_field
