@@ -321,8 +321,6 @@ def _generate_classes_jit(
         gcond = params["speaker_embed"][speaker_ids]  # (B, E)
 
     if engine in ("turbo", "mega"):
-        if return_logits and engine == "turbo":
-            raise ValueError("turbo engine does not expose logits")
         return _generate_classes_fused(
             params, arch, rng, b, n_samples, cond, gcond, forced, temperature,
             engine, return_logits, mega_vmem_d, mega_pad_test, global_rng,
@@ -548,16 +546,23 @@ def _generate_classes_fused(
         lane = jnp.stack(
             [derive_lane_seeds(seed_base, b), jnp.zeros((b,), jnp.int32)]
         )
-    _, classes = _turbo_scan(
+    _, out = _turbo_scan(
         params, lp, arch, (bufs, e0, h0), seed_base, jnp.int32(0),
         cond_ts, forced_ts, temperature, has_cond, interpret, lane=lane,
+        emit_logits=return_logits,
     )
-    return jnp.swapaxes(classes, 0, 1)
+    if return_logits:
+        classes, logits = out
+        return (
+            jnp.swapaxes(classes, 0, 1),
+            jnp.swapaxes(logits, 0, 1),      # (T, B, Q) -> (B, T, Q)
+        )
+    return jnp.swapaxes(out, 0, 1)
 
 
 def _turbo_scan(params, lp, arch: ArchConfig, carry0, seed_base, t0,
                 cond_ts, forced_ts, temperature, has_cond, interpret,
-                lane=None):
+                lane=None, emit_logits=False):
     """lax.scan of the fused turbo step; carry = (bufs, e, h). Absolute
     time t0 + i drives ring slots and the sampling-seed chain, so chunked
     (streaming) and one-shot runs produce identical sequences. `lane`
@@ -575,11 +580,16 @@ def _turbo_scan(params, lp, arch: ArchConfig, carry0, seed_base, t0,
         t, cond_t, forced_t = inp
         slots = offsets + jax.lax.rem(t, dils)
         seed = jnp.stack([seed_base + t, t])
-        new_bufs, cls, e_next, h0_next = turbo_step(
+        outs = turbo_step(
             params, lp, arch, h0, e_cur, bufs, slots, seed,
             forced_t[:, None], cond_t=cond_t, temperature=temperature,
             has_cond=has_cond, interpret=interpret, lane=lane,
+            emit_logits=emit_logits,
         )
+        if emit_logits:
+            new_bufs, cls, e_next, h0_next, logits = outs
+            return (new_bufs, e_next, h0_next), (cls, logits)
+        new_bufs, cls, e_next, h0_next = outs
         return (new_bufs, e_next, h0_next), cls
 
     ts = t0 + jnp.arange(n_steps, dtype=jnp.int32)
@@ -789,14 +799,10 @@ def stream_chunk(
             temperature, return_logits, lane_seed, lane_t0,
         )
     if engine == "turbo":
-        if return_logits:
-            raise NotImplementedError(
-                "turbo samples in-kernel and emits no logits; use the "
-                "pallas engine for logit-level streaming"
-            )
         return _turbo_stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
             temperature, lane_seed, lane_t0,
+            return_logits=return_logits,
         )
 
     new_state, out = _run_scan_engine(
@@ -845,6 +851,7 @@ def _turbo_stream_chunk(
     temperature: float,
     lane_seed=None,
     lane_t0=None,
+    return_logits: bool = False,
 ):
     """One turbo-engine chunk: lax.scan of the fully-fused step kernel,
     carrying (rings, frontend) between chunks. Ring-slot phase and the
@@ -868,16 +875,23 @@ def _turbo_stream_chunk(
         lane = jnp.stack(
             [lane_seed.astype(jnp.int32), lane_t0.astype(jnp.int32)]
         )
-    (bufs, e, h), classes = _turbo_scan(
+    (bufs, e, h), out = _turbo_scan(
         params, lp, arch, (st["bufs"], st["e"], st["h"]), seed_base,
         stream.t, cond_ts, forced_ts, temperature, has_cond, interpret,
-        lane=lane,
+        lane=lane, emit_logits=return_logits,
     )
     new_stream = Stream(
         {"bufs": bufs, "e": e, "h": h, "seed_base": seed_base},
         stream.t + jnp.int32(chunk_size),
     )
-    return jnp.swapaxes(classes, 0, 1), new_stream
+    if return_logits:
+        classes, logits = out
+        return (
+            jnp.swapaxes(classes, 0, 1),
+            jnp.swapaxes(logits, 0, 1),
+            new_stream,
+        )
+    return jnp.swapaxes(out, 0, 1), new_stream
 
 
 def _mega_stream_chunk(

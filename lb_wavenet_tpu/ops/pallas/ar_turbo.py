@@ -57,6 +57,7 @@ def _turbo_kernel(
     class_ref,                    # (B, 1) int32 sampled class
     h0next_ref,                   # (B, C) f32 next step's residual input
     newstack_ref,                 # (K-1, B, C) shifted stack, or None
+    logits_ref,                   # (B, Q) f32 pre-sampling logits, or None
     # scratch
     h_s, skip_s,
     *,
@@ -100,6 +101,8 @@ def _turbo_kernel(
         hidden = jax.nn.relu(mm(jax.nn.relu(skip_s[:]), w1_ref[:]) + b1_ref[0])
         logits = mm(hidden, w2_ref[:]) + b2_ref[0]  # (B, Q) f32
         q = logits.shape[-1]
+        if logits_ref is not None:
+            logits_ref[:] = logits
 
         def _mix(x):
             x = x ^ (x >> 16)
@@ -182,7 +185,9 @@ def _turbo_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("arch", "temperature", "has_cond", "interpret"),
+    static_argnames=(
+        "arch", "temperature", "has_cond", "interpret", "emit_logits",
+    ),
 )
 def turbo_step(
     params: dict,
@@ -199,6 +204,7 @@ def turbo_step(
     has_cond: bool = False,
     interpret: bool = False,
     lane: Optional[jnp.ndarray] = None,  # (2, B) int32 [seeds; lease times]
+    emit_logits: bool = False,
 ):
     L = len(arch.dilations)
     b, c = h0.shape
@@ -290,14 +296,15 @@ def turbo_step(
         lane_r = ins.pop() if per_lane else None
         wcond_r = ins.pop() if has_cond else None
         cond_r = ins.pop() if has_cond else None
-        if k_taps > 1:
-            newtap, cls_o, h0n_o, newstack, h_s, skip_s = tail
-        else:
-            newtap, cls_o, h0n_o, h_s, skip_s = tail
-            newstack = None
+        h_s, skip_s = tail[-2:]
+        outs_t = tail[:-2]
+        newtap, cls_o, h0n_o = outs_t[:3]
+        rest_o = list(outs_t[3:])
+        newstack = rest_o.pop(0) if k_taps > 1 else None
+        logits_o = rest_o.pop(0) if emit_logits else None
         return base(
             slots_r, seed_r, *ins, cond_r, wcond_r, lane_r,
-            wpast_r, estack_r, newtap, cls_o, h0n_o, newstack,
+            wpast_r, estack_r, newtap, cls_o, h0n_o, newstack, logits_o,
             h_s, skip_s,
         )
 
@@ -312,6 +319,9 @@ def turbo_step(
         out_shape.append(
             jax.ShapeDtypeStruct((k_taps - 1, b, c), jnp.float32)
         )
+    if emit_logits:
+        out_specs.append(whole((b, q)))
+        out_shape.append(jax.ShapeDtypeStruct((b, q), jnp.float32))
 
     outs = pl.pallas_call(
         kernel,
@@ -330,9 +340,14 @@ def turbo_step(
         input_output_aliases={3: 0},
         interpret=interpret,
     )(slots, seed, *args)
-    if k_taps > 1:
-        new_bufs, cls, h0_next, new_stack = outs
-    else:
-        new_bufs, cls, h0_next = outs
-        new_stack = estack  # (0, B, C): structural placeholder
+    outs = list(outs)
+    new_bufs, cls, h0_next = outs[:3]
+    rest = outs[3:]
+    new_stack = (
+        rest.pop(0) if k_taps > 1
+        else estack  # (0, B, C): structural placeholder
+    )
+    logits = rest.pop(0) if emit_logits else None
+    if emit_logits:
+        return new_bufs, cls[:, 0], new_stack, h0_next, logits
     return new_bufs, cls[:, 0], new_stack, h0_next

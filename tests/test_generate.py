@@ -398,3 +398,40 @@ def _check_fused_k(k_taps, ArchConfig, start_stream, stream_chunk):
         )
     # turbo and mega consume identical per-lane hash noise.
     np.testing.assert_array_equal(sampled["turbo"], sampled["mega"])
+
+
+def test_turbo_logits_one_shot_and_streaming():
+    """Turbo now emits logits from its fused kernel (r3: the last engine-
+    matrix gap): greedy logits bit-match the XLA engine (f32 interpret),
+    and chunked streaming logits bit-match the one-shot sampled run."""
+    from lb_wavenet_tpu.generate import start_stream, stream_chunk
+
+    params = init_params(jax.random.key(0), MICRO)
+    b, t = 3, 24
+    key = jax.random.key(7)
+    cx, lx = generate_classes(
+        params, MICRO, key, b, t, temperature=0.0, engine="xla",
+        return_logits=True,
+    )
+    ct, lt = generate_classes(
+        params, MICRO, key, b, t, temperature=0.0, engine="turbo",
+        return_logits=True,
+    )
+    np.testing.assert_array_equal(np.asarray(cx), np.asarray(ct))
+    np.testing.assert_array_equal(np.asarray(lx), np.asarray(lt))
+
+    c1, l1 = generate_classes(
+        params, MICRO, key, b, t, temperature=1.0, engine="turbo",
+        return_logits=True,
+    )
+    stream = start_stream(MICRO, b, key, engine="turbo", params=params)
+    cs, ls = [], []
+    for _ in range(3):
+        cls, lg, stream = stream_chunk(
+            params, MICRO, stream, t // 3, temperature=1.0, engine="turbo",
+            return_logits=True,
+        )
+        cs.append(np.asarray(cls))
+        ls.append(np.asarray(lg))
+    np.testing.assert_array_equal(np.concatenate(cs, 1), np.asarray(c1))
+    np.testing.assert_array_equal(np.concatenate(ls, 1), np.asarray(l1))
