@@ -93,6 +93,22 @@ def _mm(x, w, dtype):
     )
 
 
+def post_network_sharded(params: Params, skip_local, dtype, model_axis: str):
+    """Post network over a skip accumulator SHARDED on its channel dim.
+
+    skip_local is this shard's (B, S/n) slice, post.w1 this shard's
+    (S/n, S) row block; the hidden pre-activation is completed with ONE
+    psum over `model_axis` (b1 is replicated and added once, after the
+    reduction). w2/b2 replicated. This is the entire collective cost of
+    model-sharded synthesis on the fused-kernel path — per STEP, not per
+    layer (docs/kernels.md "Model-sharded synthesis")."""
+    p = params["post"]
+    a = jax.nn.relu(skip_local)
+    part = _mm(a, p["w1"], dtype)                     # (B, S) partial
+    hidden = jax.nn.relu(jax.lax.psum(part, model_axis) + p["b1"])
+    return _mm(hidden, p["w2"], dtype) + p["b2"]
+
+
 def stack_step(
     params: Params,
     arch: ArchConfig,
@@ -101,6 +117,7 @@ def stack_step(
     x_class: jnp.ndarray,
     cond_t: Optional[jnp.ndarray] = None,
     gcond: Optional[jnp.ndarray] = None,
+    model_axis: Optional[str] = None,
 ):
     """One incremental forward step: class (B,) at time t -> logits (B, Q).
 
@@ -126,7 +143,8 @@ def stack_step(
     )
 
     g = lp["w_cur"].shape[-1] // 2
-    skip_sum = jnp.zeros((h.shape[0], arch.skip_channels), jnp.float32)
+    # Width from the (possibly model-axis-sliced) w_skip, not the arch.
+    skip_sum = jnp.zeros((h.shape[0], lp["w_skip"].shape[-1]), jnp.float32)
     offsets = buffer_offsets(arch)
     bufs = state.bufs
     for i, d in enumerate(arch.dilations):
@@ -147,7 +165,10 @@ def stack_step(
         h = h + _mm(z, lp["w_res"][i], dtype) + lp["b_res"][i]
         skip_sum = skip_sum + _mm(z, lp["w_skip"][i], dtype) + lp["b_skip"][i]
 
-    logits = post_network(params, skip_sum, dtype)
+    if model_axis is not None:
+        logits = post_network_sharded(params, skip_sum, dtype, model_axis)
+    else:
+        logits = post_network(params, skip_sum, dtype)
     return new_embed_buf, bufs, logits
 
 
@@ -246,10 +267,16 @@ def generate_classes(
     use_pallas: bool = False,
     engine: Optional[str] = None,
     global_rng: bool = False,
+    model_axis: Optional[str] = None,
 ):
     """Non-jitted entry: experiment env knobs are read HERE, outside every
     jit trace, and threaded through as static args — so an in-process flip
-    of a knob retraces instead of silently hitting the cached executable."""
+    of a knob retraces instead of silently hitting the cached executable.
+
+    `model_axis` (xla/pallas engines, inside shard_map only): the skip/post
+    params are channel-sliced over that mesh axis and the post hidden is
+    completed with one per-step psum — model-sharded synthesis at
+    fused-kernel speed (parallel/synthesis.py)."""
     import os as _os
 
     return _generate_classes_jit(
@@ -257,7 +284,7 @@ def generate_classes(
         temperature, return_logits, use_pallas, engine,
         mega_vmem_d=int(_os.environ.get("WAVENET_MEGA_VMEM_D", "1")),
         mega_pad_test=int(_os.environ.get("WAVENET_MEGA_PAD_TEST", "1")),
-        global_rng=global_rng,
+        global_rng=global_rng, model_axis=model_axis,
     )
 
 
@@ -274,6 +301,7 @@ def generate_classes(
         "mega_vmem_d",
         "mega_pad_test",
         "global_rng",
+        "model_axis",
     ),
 )
 def _generate_classes_jit(
@@ -292,6 +320,7 @@ def _generate_classes_jit(
     mega_vmem_d: int = 1,
     mega_pad_test: int = 1,
     global_rng: bool = False,
+    model_axis: Optional[str] = None,
 ):
     """Ring-buffer scan over n_samples steps. Returns (classes (B, T)[, logits]).
 
@@ -320,6 +349,12 @@ def _generate_classes_jit(
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]  # (B, E)
 
+    if model_axis is not None and engine not in ("xla", "pallas"):
+        raise ValueError(
+            f"model_axis synthesis covers the xla/pallas engines (per-step "
+            f"psum at the post hidden); {engine!r} keeps its whole step "
+            f"in-kernel"
+        )
     if engine in ("turbo", "mega"):
         return _generate_classes_fused(
             params, arch, rng, b, n_samples, cond, gcond, forced, temperature,
@@ -329,7 +364,7 @@ def _generate_classes_jit(
     state = init_ring_state(arch, b, rng)
     _, out = _run_scan_engine(
         params, arch, state, jnp.int32(0), n_samples, cond, forced, gcond,
-        temperature, return_logits, engine,
+        temperature, return_logits, engine, model_axis=model_axis,
     )
     if return_logits:
         classes, logits = out
@@ -337,16 +372,17 @@ def _generate_classes_jit(
     return jnp.swapaxes(out, 0, 1)
 
 
-def _resolve_step_fn(engine: str):
+def _resolve_step_fn(engine: str, model_axis: Optional[str] = None):
     if engine == "pallas":
         from .ops.pallas.ar_step import pallas_stack_step
 
         # Pallas-TPU kernels run in interpreter mode on CPU (tests).
         return functools.partial(
-            pallas_stack_step, interpret=jax.default_backend() == "cpu"
+            pallas_stack_step, interpret=jax.default_backend() == "cpu",
+            model_axis=model_axis,
         )
     if engine == "xla":
-        return stack_step
+        return functools.partial(stack_step, model_axis=model_axis)
     raise ValueError(f"unknown engine {engine!r}")
 
 
@@ -364,6 +400,7 @@ def _run_scan_engine(
     engine: str,
     lane_seed=None,
     lane_t0=None,
+    model_axis: Optional[str] = None,
 ):
     """Scan n_samples steps from `state` at absolute time offset t0.
 
@@ -375,7 +412,7 @@ def _run_scan_engine(
     hash (serving reproducibility — see perlane_gumbel); the carried rng
     chain is then untouched.
     """
-    step_fn = _resolve_step_fn(engine)
+    step_fn = _resolve_step_fn(engine, model_axis=model_axis)
     cond_ts = None
     if cond is not None:
         cond_ts = jnp.swapaxes(cond[:, :n_samples], 0, 1)  # (T, B, Cc)

@@ -117,7 +117,7 @@ def fused_stack(
     b, c = h0.shape
     two_g = lp["w_cur"].shape[-1]
     gch = two_g // 2
-    s = arch.skip_channels
+    s = lp["w_skip"].shape[-1]  # may be a model-axis slice of skip_channels
     cc = lp["w_cond"].shape[1] if cond_t is not None else 0
     dt = jnp.dtype(arch.compute_dtype)
 
@@ -225,9 +225,17 @@ def pallas_stack_step(
     cond_t: Optional[jnp.ndarray] = None,
     gcond: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    model_axis: Optional[str] = None,
 ):
-    """Drop-in replacement for generate.stack_step using the fused kernel."""
-    from ...generate import buffer_offsets
+    """Drop-in replacement for generate.stack_step using the fused kernel.
+
+    `model_axis` (shard_map TP synthesis, parallel/synthesis.py): the
+    caller passes w_skip/b_skip sliced on the skip dim and post.w1 sliced
+    on its contraction rows; the kernel computes the LOCAL skip slice
+    (shapes flow through) and the post hidden is completed with one
+    psum over the axis — the only collective in the sample loop.
+    """
+    from ...generate import buffer_offsets, post_network_sharded
     from ...models.wavenet import post_network
 
     dtype = jnp.dtype(arch.compute_dtype)
@@ -276,5 +284,8 @@ def pallas_stack_step(
     new_bufs, skip = fused_stack(
         lp, arch, h, state.bufs, slots, cond_t=cond_t, interpret=interpret
     )
-    logits = post_network(params, skip, dtype)
+    if model_axis is not None:
+        logits = post_network_sharded(params, skip, dtype, model_axis)
+    else:
+        logits = post_network(params, skip, dtype)
     return new_embed_buf, new_bufs, logits

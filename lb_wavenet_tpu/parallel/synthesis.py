@@ -95,10 +95,21 @@ def mesh_generate_classes(
     n_model = mesh.shape[MODEL_AXIS]
     if batch % n_data:
         raise ValueError(f"global batch {batch} % data axis {n_data} != 0")
+    if n_model > 1 and engine == "pallas":
+        # Kernel-speed TP (r3): each shard runs the fused stack kernel on
+        # its SKIP-channel slice; one per-step psum completes the post
+        # hidden (generate.post_network_sharded). Composes with the data
+        # axis. The skip split needs no per-layer collective because
+        # skip = sum_l z_l @ w_skip_l is column-separable.
+        return _skip_sharded_generate(
+            params, arch, rng, batch, n_samples, mesh, engine,
+            cond, speaker_ids, forced, temperature, **kwargs,
+        )
     if n_model > 1 and engine != "xla":
         raise ValueError(
-            f"model-axis sharding needs engine='xla' (GSPMD-partitionable); "
-            f"the {engine!r} kernels are single-chip programs"
+            f"model-axis sharding needs engine='xla' (GSPMD-partitionable) "
+            f"or 'pallas' (shard_map skip-split, kernel speed); the "
+            f"{engine!r} kernels keep the whole loop in one single-chip program"
         )
 
     param_specs = (
@@ -149,6 +160,87 @@ def mesh_generate_classes(
             out_specs=P(DATA_AXIS, None),
             # The Pallas calls don't declare varying-mesh-axis metadata.
             check_vma=False,
+        ),
+        out_shardings=out_sharding,
+    )
+    return fn(params, key_data, opt)
+
+
+def skip_sharded_param_specs(params) -> dict:
+    """PartitionSpecs for the shard_map TP path: ONLY the skip-separable
+    dims are sliced — w_skip/b_skip on the skip dim and post.w1 on its
+    contraction rows; everything else (taps, residual, embed, post w2/b2)
+    is replicated. The per-step psum in generate.post_network_sharded is
+    the entire collective budget (docs/kernels.md)."""
+
+    def spec(path, leaf):
+        names = [getattr(p2, "key", getattr(p2, "name", None)) for p2 in path]
+        if "layers" in names:
+            if names[-1] == "w_skip":
+                return P(None, None, MODEL_AXIS)   # (L, G, S): shard S
+            if names[-1] == "b_skip":
+                return P(None, MODEL_AXIS)         # (L, S)
+        if "post" in names and names[-1] == "w1":
+            return P(MODEL_AXIS, None)             # (S, S): shard rows (K)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def _skip_sharded_generate(
+    params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    batch: int,
+    n_samples: int,
+    mesh: Mesh,
+    engine: str,
+    cond,
+    speaker_ids,
+    forced,
+    temperature: float,
+    **kwargs,
+):
+    """Model-sharded synthesis at fused-kernel speed (shard_map).
+
+    Every model shard runs the SAME replicated computation except the skip
+    projection / post-w1 rows it owns; the post hidden is completed with
+    one psum per sample step. The sampling chain (threefry key or per-lane
+    hash) is replicated over the model axis, so all shards emit identical
+    classes; greedy/forced output equals the single-device run (float
+    association of the psum vs the unsharded contraction can differ at
+    f32 rounding — class-level equality is what the tests pin, exactly
+    like the GSPMD xla path). Composes with data-axis batch sharding
+    (fold_in decorrelates the DATA shards only)."""
+    n_data = mesh.shape[DATA_AXIS]
+    shard_b = batch // n_data
+    param_specs = skip_sharded_param_specs(params)
+    params = jax.tree_util.tree_map(
+        lambda x, sp: _place_global(x, mesh, sp), params, param_specs
+    )
+    key_impl = str(jax.random.key_impl(rng))
+    key_data = _place_global(jax.random.key_data(rng), mesh, P())
+    opt = _place_batch_args(mesh, cond, speaker_ids, forced)
+    opt_specs = {k: _batch_spec(v) for k, v in opt.items()}
+    out_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    def per_shard(p, r, o):
+        r = jax.random.wrap_key_data(r, impl=key_impl)
+        # Decorrelate DATA shards only: the model shards of one data shard
+        # must follow the identical sampling chain.
+        r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+        return generate_classes(
+            p, arch, r, shard_b, n_samples, engine=engine,
+            temperature=temperature, model_axis=MODEL_AXIS, **o, **kwargs,
+        )
+
+    fn = jax.jit(
+        shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(param_specs, P(), opt_specs),
+            out_specs=P(DATA_AXIS, None),
+            check_vma=False,  # pallas calls carry no vma metadata
         ),
         out_shardings=out_sharding,
     )
@@ -206,9 +298,14 @@ def model_sharded_generate_classes(
     batch: int,
     n_samples: int,
     mesh: Mesh,
+    engine: str = "xla",
     **kwargs,
 ):
-    """Generation with the model sharded over the `model` mesh axis."""
+    """Generation with the model sharded over the `model` mesh axis.
+
+    engine="xla": GSPMD partitions the traced computation (collectives
+    inserted by the compiler). engine="pallas" (r3): shard_map skip-split
+    at fused-kernel speed — one psum per step."""
     return mesh_generate_classes(
-        params, arch, rng, batch, n_samples, mesh, engine="xla", **kwargs
+        params, arch, rng, batch, n_samples, mesh, engine=engine, **kwargs
     )

@@ -124,3 +124,64 @@ def test_fused_fleet_mesh_rejected_for_model_axis():
         fleet_generate_classes(
             params, MICRO, jax.random.key(0), B, T, mesh, engine="mega"
         )
+
+
+def test_model_sharded_pallas_kernel_speed_path():
+    """r3 (VERDICT r2 item 5 follow-through): model sharding at KERNEL
+    speed — the pallas engine under shard_map with the skip-separable
+    split (w_skip/b_skip sliced on S, post.w1 on its contraction rows)
+    and ONE psum per step at the post hidden. Greedy and sampled output
+    equal the single-device pallas run (fold_in RNG contract, like the
+    fused fleet)."""
+    params = init_params(jax.random.key(0), MICRO)
+    key = jax.random.key(5)
+    mesh = make_mesh(1, 8)  # pure model axis: skip 8 -> 1 channel/shard
+    for temp, label in ((0.0, "greedy"), (1.0, "sampled")):
+        ref = np.asarray(generate_classes(
+            params, MICRO, jax.random.fold_in(key, 0), B, T,
+            temperature=temp, engine="pallas",
+        ))
+        out = model_sharded_generate_classes(
+            params, MICRO, key, B, T, mesh, engine="pallas",
+            temperature=temp,
+        )
+        np.testing.assert_array_equal(np.asarray(out), ref, err_msg=label)
+
+
+def test_model_sharded_pallas_composes_with_data_axis():
+    """data x model mesh on the skip-split path: each data shard's lanes
+    equal a single-device run of that shard with the folded key."""
+    from lb_wavenet_tpu.parallel.synthesis import mesh_generate_classes
+
+    params = init_params(jax.random.key(0), MICRO)
+    key = jax.random.key(6)
+    mesh = make_mesh(2, 4)
+    out = np.asarray(mesh_generate_classes(
+        params, MICRO, key, B, T, mesh, engine="pallas", temperature=1.0,
+    ))
+    half = B // 2
+    for i in range(2):
+        ref = np.asarray(generate_classes(
+            params, MICRO, jax.random.fold_in(key, i), half, T,
+            temperature=1.0, engine="pallas",
+        ))
+        np.testing.assert_array_equal(out[i * half : (i + 1) * half], ref)
+
+
+def test_model_sharded_xla_engine_with_explicit_axis_matches():
+    """The per-step-psum formulation is engine-symmetric: the xla engine
+    through the same shard_map path (model_axis threading in stack_step)
+    also equals its single-device run."""
+    from lb_wavenet_tpu.parallel.synthesis import _skip_sharded_generate
+
+    params = init_params(jax.random.key(0), MICRO)
+    key = jax.random.key(7)
+    ref = np.asarray(generate_classes(
+        params, MICRO, jax.random.fold_in(key, 0), B, T,
+        temperature=0.0, engine="xla",
+    ))
+    out = _skip_sharded_generate(
+        params, MICRO, key, B, T, make_mesh(1, 8), "xla",
+        None, None, None, 0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
