@@ -289,22 +289,17 @@ def _train_mode() -> int:
     if n_steps <= 0:
         raise SystemExit(f"BENCH_STEPS must be positive, got {n_steps}")
     # BENCH_SP=1: the sequence-parallel train step (production recipe —
-    # fused kernel with in-kernel halo mask + tapcat + grad_accum) on a
+    # fused kernel with in-kernel halo mask + tapcat + grad_accum, and
+    # since r3 the fused post+CE and frontend kernels too) on a
     # single-chip mesh: measures the SP formulation's per-chip cost vs the
     # windowed step (the multi-chip halo ppermute adds only the R-1-sample
     # neighbor exchange on top).
     sp = os.environ.get("BENCH_SP", "") == "1"
-    # BENCH_FUSED_POST=0 / BENCH_MM_EMBED=0 revert the round-3 tail
-    # optimizations (fused post+CE kernel; one-hot embed grad) to the XLA
-    # paths for A/B; SP keeps the XLA post.
-    fused_post = (
-        os.environ.get("BENCH_FUSED_POST", "1") == "1" and not sp
-    )
-    # BENCH_FUSED_FRONTEND=0 reverts the round-3 frontend kernel pair
-    # (one-hot MXU embed + input conv, ops/pallas/frontend.py) to the
-    # mm_embed_grad XLA frontend for A/B.
+    # BENCH_FUSED_POST=0 / BENCH_MM_EMBED=0 / BENCH_FUSED_FRONTEND=0
+    # revert the round-3 tail kernels to the XLA paths for A/B.
+    fused_post = os.environ.get("BENCH_FUSED_POST", "1") == "1"
     fused_frontend = (
-        os.environ.get("BENCH_FUSED_FRONTEND", "1") == "1" and not sp
+        os.environ.get("BENCH_FUSED_FRONTEND", "1") == "1"
     )
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=True, tapcat=True,

@@ -128,8 +128,9 @@ class TrainConfig:
     # Fuse the post-network + masked CE (fwd AND bwd) into a Pallas kernel
     # pair (ops/pallas/post_loss.py): hidden/logits/softmax stay in VMEM
     # and the unscored receptive-field head is skipped statically. Loss ==
-    # the XLA path to float tolerance (reduction order differs). Windowed
-    # training only (seq_parallel keeps the XLA post).
+    # the XLA path to float tolerance (reduction order differs). Works in
+    # seq_parallel too (r3): each time shard runs the kernel over its full
+    # local length with the mask carrying the exclusion.
     fused_post: bool = False
     # Embedding-gradient via a blocked one-hot MXU contraction instead of
     # the gather's scatter-add VJP (models/wavenet.embed_lookup_mm);

@@ -37,7 +37,7 @@ from ..models.wavenet import forward
 def _sp_local_logits(params, x_local, cond_local=None, speaker_ids=None, *,
                      arch: ArchConfig, axis_name: str, remat: bool = False,
                      fused_stack: bool = False, tapcat: bool = False,
-                     fused_frontend: bool = False):
+                     fused_frontend: bool = False, return_skip: bool = False):
     """Logits for this shard's chunk, exact vs the unsharded forward.
 
     x_local: (B, T_local) classes; cond_local: optional (B, T_local, Cc)
@@ -82,12 +82,13 @@ def _sp_local_logits(params, x_local, cond_local=None, speaker_ids=None, *,
         logits_ext = forward_fused(
             params, arch, x_ext, cond=cond_ext, speaker_ids=speaker_ids,
             tapcat=tapcat, input_mask=mask, fused_frontend=fused_frontend,
+            return_skip=return_skip,
         )
     else:
         logits_ext = forward(
             params, arch, x_ext, input_mask=mask, cond=cond_ext,
             speaker_ids=speaker_ids, remat=remat,
-            fused_frontend=fused_frontend,
+            fused_frontend=fused_frontend, return_skip=return_skip,
         )
     return logits_ext[:, halo:]
 
@@ -210,6 +211,7 @@ def sequence_parallel_loss_sums(
     fused_stack: bool = False,
     tapcat: bool = False,
     fused_frontend: bool = False,
+    fused_post: bool = False,
 ) -> tuple:
     """(sum of masked CE, sum of mask) over a time-sharded window — the
     accumulable form (cf. models.wavenet.masked_loss_sums) that SP gradient
@@ -242,6 +244,27 @@ def sequence_parallel_loss_sums(
         it = iter(rest)
         cond_l = next(it) if has_cond else None
         spk = next(it) if has_spk else None
+        if fused_post:
+            # The SP formulation scores EVERY local position under m_l —
+            # exactly the fused post+CE kernel's window_size == t_local
+            # case (no statically-skipped head; the mask carries all the
+            # exclusion). The psum-reduced (num, den) contract matches the
+            # XLA branch below, so grad_accum stays exact.
+            from ..ops.pallas.post_loss import fused_post_loss
+
+            skip_l = _sp_local_logits(
+                params, x_l, cond_l, spk, arch=arch, axis_name=axis_name,
+                remat=remat, fused_stack=fused_stack, tapcat=tapcat,
+                fused_frontend=fused_frontend, return_skip=True,
+            )
+            num_l = fused_post_loss(
+                params["post"], skip_l, tgt_l, m_l, skip_l.shape[1],
+                compute_dtype=arch.compute_dtype,
+                interpret=jax.default_backend() == "cpu",
+            )
+            num = jax.lax.psum(num_l, axis_name)
+            den = jax.lax.psum(jnp.sum(m_l), axis_name)
+            return num, den
         logits = _sp_local_logits(
             params, x_l, cond_l, spk, arch=arch, axis_name=axis_name,
             remat=remat, fused_stack=fused_stack, tapcat=tapcat,

@@ -349,14 +349,6 @@ def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
     """
     from .parallel.halo import sequence_parallel_loss_sums
 
-    if train.fused_post:
-        raise ValueError(
-            "fused_post covers windowed training; the sequence-parallel "
-            "loss keeps the XLA post-network (each time shard's logits "
-            "are a slice — see parallel/halo.py). Set fused_post=false "
-            "with seq_parallel."
-        )
-
     def sums(params, batch):
         return sequence_parallel_loss_sums(
             params, arch, batch["inputs"], batch["targets"],
@@ -367,6 +359,7 @@ def make_sp_train_step(mesh, arch: ArchConfig, train: TrainConfig):
             fused_stack=train.fused_stack,
             tapcat=train.tapcat,
             fused_frontend=train.fused_frontend,
+            fused_post=train.fused_post,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))

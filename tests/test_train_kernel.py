@@ -245,16 +245,36 @@ def test_fused_post_grad_accum_matches_one_shot():
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5)
 
 
-def test_fused_post_rejected_in_sequence_parallel():
-    from lb_wavenet_tpu.config import TrainConfig
+def test_fused_post_in_sequence_parallel_matches_xla_post():
+    """r3: fused_post now runs under SP (window_size == t_local, mask
+    carries the exclusion): loss and grads match the XLA-post SP path."""
+    from lb_wavenet_tpu.parallel.halo import sequence_parallel_loss_sums
     from lb_wavenet_tpu.parallel.mesh import make_mesh
-    from lb_wavenet_tpu.train import make_sp_train_step
 
-    with pytest.raises(ValueError, match="fused_post"):
-        make_sp_train_step(
-            make_mesh(1, 1, devices=jax.devices()[:1]), MICRO,
-            TrainConfig(seq_parallel=True, fused_post=True),
+    mesh = make_mesh(4, 1)
+    params = init_params(jax.random.key(0), MICRO)
+    rng = np.random.default_rng(9)
+    b = 2
+    t = 4 * max(64, MICRO.receptive_field - 1)
+    x = jnp.asarray(rng.integers(0, 256, (b, t)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 256, (b, t)), jnp.int32)
+    msk = jnp.asarray((rng.random((b, t)) > 0.2).astype(np.float32))
+
+    def lf(p, fp):
+        num, den = sequence_parallel_loss_sums(
+            p, MICRO, x, tgt, msk, mesh, fused_stack=True, tapcat=True,
+            fused_post=fp,
         )
+        return num / jnp.maximum(den, 1.0)
+
+    l_x, g_x = jax.jit(jax.value_and_grad(lambda p: lf(p, False)))(params)
+    l_f, g_f = jax.jit(jax.value_and_grad(lambda p: lf(p, True)))(params)
+    assert abs(float(l_x) - float(l_f)) < 2e-5
+    fx, _ = jax.flatten_util.ravel_pytree(g_x)
+    ff, _ = jax.flatten_util.ravel_pytree(g_f)
+    np.testing.assert_allclose(
+        np.asarray(ff), np.asarray(fx), rtol=2e-4, atol=2e-6
+    )
 
 
 def test_mm_embed_grad_matches_scatter_grad():
