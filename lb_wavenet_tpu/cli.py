@@ -238,13 +238,19 @@ def _generate_mesh(args, cfg, params, cond_frames, forced, speaker_ids) -> int:
     shard_b = batch // n_data
     engine = cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "")
     if mm > 1:
-        if engine in FUSED_ENGINES:
-            if jax.process_index() == 0:
+        # Model axis: "pallas" runs the shard_map skip-split at kernel
+        # speed (one psum/step, parallel/synthesis.py); anything else
+        # (incl. the whole-loop mega/turbo kernels) falls back to the
+        # GSPMD-partitioned xla engine.
+        if engine != "pallas":
+            if engine in FUSED_ENGINES and jax.process_index() == 0:
                 print(json.dumps({
-                    "notice": f"engine {engine!r} is single-chip; model "
-                              "sharding uses 'xla'",
+                    "notice": f"engine {engine!r} keeps its whole loop "
+                              "in one single-chip program; model sharding "
+                              "uses 'xla' (pass --set gen.engine=pallas "
+                              "for the kernel-speed skip-split path)",
                 }), flush=True)
-        engine = "xla"
+            engine = "xla"
     elif not engine:
         engine = "mega" if shard_b % 128 == 0 else "turbo"
         if cfg.gen.matmul_precision:

@@ -511,6 +511,11 @@ def test_cli_generate_fleet_and_model_sharded(tmp_path):
     assert fleet == ref
     ms = gen(tmp_path / "ms", "--fleet", "--mesh-model", "2")
     assert ms == ref
+    # Kernel-speed TP (r3): --mesh-model with the pallas engine rides the
+    # shard_map skip-split path; greedy output identical.
+    tp = gen(tmp_path / "tp", "--fleet", "--mesh-model", "2",
+             "--set", 'gen.engine="pallas"')
+    assert tp == ref
 
 
 def test_cli_streaming_mega_auto_pads_odd_batch(tmp_path, monkeypatch):
