@@ -4,7 +4,9 @@ throughput" metric; SURVEY.md §6).
 One process per invocation (cross-process numbers vary with relay load);
 prints one JSON line per timed config.
 
-Env: TB_FUSED=0|1, TB_BATCH, TB_WINDOW, TB_STEPS (timed steps, default 20).
+Env: TB_FUSED=0|1, TB_BATCH, TB_WINDOW, TB_STEPS (timed steps, default 20),
+TB_POST/TB_FRONTEND (fused post+CE / fused frontend kernels, default =
+TB_FUSED), TB_TAPCAT, TB_ACCUM, TB_MEL, TB_SKIP.
 """
 import json
 import os
@@ -28,6 +30,8 @@ def main() -> int:
 
     fused = os.environ.get("TB_FUSED", "0") == "1"
     tapcat = os.environ.get("TB_TAPCAT", "0") == "1"
+    f_post = os.environ.get("TB_POST", "1" if fused else "0") == "1"
+    f_front = os.environ.get("TB_FRONTEND", "1" if fused else "0") == "1"
     accum = int(os.environ.get("TB_ACCUM", "1"))
     batch = int(os.environ.get("TB_BATCH", "8"))
     window = int(os.environ.get("TB_WINDOW", "4096"))
@@ -45,7 +49,8 @@ def main() -> int:
     )
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=fused,
-        tapcat=tapcat, grad_accum=accum,
+        tapcat=tapcat, grad_accum=accum, fused_post=f_post,
+        fused_frontend=f_front,
     )
     rng = jax.random.key(0)
     state = init_state(rng, arch, train)
@@ -83,6 +88,7 @@ def main() -> int:
         "unit": "samples/sec/chip",
         "detail": {
             "fused_stack": fused, "tapcat": tapcat, "grad_accum": accum,
+            "fused_post": f_post, "fused_frontend": f_front,
             "batch": batch, "window": window,
             "mel": with_mel,
             "step_ms": round(step_ms, 2), "compile_s": round(compile_s, 1),

@@ -426,3 +426,52 @@ def test_fused_frontend_train_step_matches():
     a, _ = jax.flatten_util.ravel_pytree(outs[0][1])
     c, _ = jax.flatten_util.ravel_pytree(outs[1][1])
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5)
+
+
+def test_full_recipe_mel_conditioned_matches_xla_post():
+    """Production config 3 combination (mel + fused_stack + tapcat +
+    fused_post + fused_frontend): loss and grads match the same step with
+    the XLA post/frontend — the exact flag set configs/wavenet30_mel.json
+    ships."""
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.train import loss_sums_fn
+
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=32, gate_channels=16, compute_dtype="float32",
+        n_mels=8, cond_channels=16, upsample_factors=(4, 4),
+    )
+    w, b = 96, 2
+    r = arch.receptive_field
+    rng = np.random.default_rng(13)
+    t_in = r - 1 + w
+    batch = {
+        "inputs": jnp.asarray(rng.integers(0, 256, (b, t_in)), jnp.int32),
+        "targets": jnp.asarray(rng.integers(0, 256, (b, w)), jnp.int32),
+        "mask": jnp.ones((b, w), jnp.float32),
+        "mel": jnp.asarray(rng.standard_normal(
+            (b, -(-t_in // arch.hop_size), arch.n_mels)
+        ), jnp.float32),
+    }
+    params = init_params(jax.random.key(0), arch)
+
+    def val_grads(full):
+        tr = TrainConfig(
+            batch_size=b, window_size=w, fused_stack=True, tapcat=True,
+            fused_post=full, fused_frontend=full,
+        )
+
+        def lf(p):
+            num, den = loss_sums_fn(p, arch, w, batch, tr)
+            return num / jnp.maximum(den, 1.0)
+
+        return jax.value_and_grad(lf)(params)
+
+    l_x, g_x = val_grads(False)
+    l_f, g_f = val_grads(True)
+    assert abs(float(l_x) - float(l_f)) < 2e-5
+    fx, _ = jax.flatten_util.ravel_pytree(g_x)
+    ff, _ = jax.flatten_util.ravel_pytree(g_f)
+    np.testing.assert_allclose(
+        np.asarray(ff), np.asarray(fx), rtol=2e-4, atol=2e-6
+    )
