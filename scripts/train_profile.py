@@ -62,10 +62,14 @@ def main() -> int:
     window = int(os.environ.get("TP_WINDOW", "6144"))
     steps = int(os.environ.get("TP_STEPS", "6"))
     out_dir = os.environ.get("TP_DIR", "/tmp/wavenet_train_profile")
+    fused_frontend = os.environ.get("TP_FUSED_FRONTEND", "1") == "1"
     train = TrainConfig(
         batch_size=batch, window_size=window, fused_stack=True, tapcat=True,
         fused_post=os.environ.get("TP_FUSED_POST", "1") == "1",
-        mm_embed_grad=os.environ.get("TP_MM_EMBED", "1") == "1",
+        fused_frontend=fused_frontend,
+        mm_embed_grad=(
+            os.environ.get("TP_MM_EMBED", "1") == "1" and not fused_frontend
+        ),
     )
     state = init_state(jax.random.key(0), arch, train)
     r = arch.receptive_field
