@@ -1,26 +1,46 @@
-"""Benchmark harness: batched AR synthesis throughput on one chip.
+"""Benchmark harness: batched AR synthesis + training throughput on one chip.
 
 Headline metric (BASELINE.json): audio-seconds synthesized per wall-clock
 second per chip, batched ring-buffer sampling. North-star target is >= 10x
 real time per v5e chip; the reference publishes no numbers (BASELINE.md), so
 vs_baseline reports value / 10.0 (ratio against the 10x-real-time target).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Output protocol (VERDICT r3 item 1 — the driver parses the LAST JSON line of
+the tail, and round 3's all-or-nothing harness timed out with an empty tail):
+the DEFAULT run (no BENCH_* env) prints JSON lines cheapest-compile first,
+flushing each immediately, so the tail always carries a parseable number even
+if a later, more expensive program dies in compile under relay congestion:
+
+  1. "ar_synthesis_smoke"  — turbo engine, B=256, T=2048: the step kernel
+     compiles in seconds (BASELINE.md round-1 row), so this line survives
+     almost any relay weather.
+  2. "train_throughput"    — the full production recipe at the recorded
+     headline shape (B=256/accum=32, 5.00M samples/sec/chip in round 3);
+     VERDICT r3 item 2: the training headline must be driver-visible.
+  3. "batched_ar_synthesis_throughput" — the mega B=1536 headline, LAST so
+     it wins the driver's `parsed` whenever it completes.
+
+Setting any BENCH_* knob keeps the old single-measurement behavior (one JSON
+line) so A/B sweeps stay uncontaminated; BENCH_PRELUDE=0 skips the prelude
+lines in the default run.
 
 Env knobs: BENCH_BATCH (preset-specific default), BENCH_SAMPLES (default 8192),
-BENCH_CONFIG (arch preset: wavenet30 | stress), BENCH_ENGINE
+BENCH_CONFIG (arch preset: wavenet30 | stress | mel), BENCH_ENGINE
 (xla | pallas | turbo | mega; default mega, turbo when batch % 128 != 0),
 BENCH_STREAM_CHUNK (N > 0: drive the STREAMING session path in chunks of N
 samples — for the mel preset the conditioning is upsampled per chunk via
 StreamingUpsampler, so peak HBM is O(chunk) instead of O(total samples),
 unlocking batches the one-shot mel path cannot hold),
-BENCH_MODE=train (time the TRAINING step instead: fused+tapcat+grad_accum
+BENCH_MODE=train (time ONLY the training step: fused+tapcat+grad_accum
 production recipe on the wavenet30 arch; knobs BENCH_BATCH / BENCH_WINDOW /
 BENCH_ACCUM / BENCH_STEPS; n-vs-2n difference timing like the synthesis
-path. vs_baseline is the ratio over the 1.78M samples/sec XLA-path step —
-reported only at the default shape, null otherwise, since the baseline was
-measured at one shape and would conflate shape effects).
+path).
+
+SAFETY (VERDICT r3 item 3): BENCH_ENGINE=xla with batch >= 512 on the TPU
+backend reproducibly CRASHES the TPU worker on this image (BASELINE.md
+round-3 XLA row: 3/3 runs died in "TPU worker process crashed or restarted",
+~5 min recovery, and the killed client wedges the relay). The harness now
+refuses that cell; BENCH_FORCE=1 overrides.
 """
 import json
 import os
@@ -30,11 +50,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # The canonical BASELINE config-2 geometry, shared by the synthesis preset
-# and BENCH_MODE=train so both headlines measure the SAME model.
+# and the train line so both headlines measure the SAME model.
 _WAVENET30 = dict(
     n_blocks=3, n_layers_per_block=10, residual_channels=64,
     skip_channels=256, gate_channels=64,
 )
+
+from lb_wavenet_tpu.utils.hazards import check_xla_engine_batch  # noqa: E402
+
+
+def _emit(payload: dict) -> None:
+    """One JSON line, flushed IMMEDIATELY: if a later program hangs and the
+    driver's timeout kills us, buffered lines would be lost with it."""
+    print(json.dumps(payload), flush=True)
 
 
 def main() -> int:
@@ -52,14 +80,56 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    if os.environ.get("BENCH_MODE", "") == "train":
+        _train_line()
+        return 0
+
+    custom = any(
+        os.environ.get(k)
+        for k in (
+            "BENCH_CONFIG", "BENCH_BATCH", "BENCH_ENGINE", "BENCH_SAMPLES",
+            "BENCH_STREAM_CHUNK", "BENCH_PERLANE", "BENCH_GLOBAL_RNG",
+        )
+    )
+    if custom:
+        # Explicit single measurement (A/B sweeps): old one-line behavior.
+        _synthesis_line()
+        return 0
+
+    # Driver default run: cheap lines first, headline LAST (see module doc).
+    if os.environ.get("BENCH_PRELUDE", "1") != "0":
+        try:
+            _synthesis_line(
+                metric="ar_synthesis_smoke", preset="wavenet30",
+                batch=256, n_samples=2048, engine="turbo",
+            )
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"smoke line failed: {e!r}", file=sys.stderr, flush=True)
+        try:
+            _train_line()
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"train line failed: {e!r}", file=sys.stderr, flush=True)
+    _synthesis_line()
+    return 0
+
+
+def _synthesis_line(
+    metric: str = "batched_ar_synthesis_throughput",
+    preset=None, batch=None, n_samples=None, engine=None,
+) -> None:
+    """Measure one synthesis configuration and print its JSON line.
+
+    Explicit args override the env knobs (the prelude uses them); the
+    headline call reads everything from env/defaults as before.
+    """
+    import jax
+
     from lb_wavenet_tpu.config import ArchConfig
     from lb_wavenet_tpu.generate import generate_classes
     from lb_wavenet_tpu.models.wavenet import init_params
 
-    if os.environ.get("BENCH_MODE", "") == "train":
-        return _train_mode()
-
-    preset = os.environ.get("BENCH_CONFIG", "wavenet30")
+    if preset is None:
+        preset = os.environ.get("BENCH_CONFIG", "wavenet30")
     if preset == "stress":
         arch = ArchConfig(
             n_blocks=3,
@@ -70,7 +140,8 @@ def main() -> int:
             sample_rate=24000,
         )
         # Stress: 1032 a-s/s measured at B=1024 (D2H-free timing).
-        batch = int(os.environ.get("BENCH_BATCH", "1024"))
+        if batch is None:
+            batch = int(os.environ.get("BENCH_BATCH", "1024"))
     elif preset == "mel":
         # BASELINE config 3: mel-conditioned vocoder (flagship).
         arch = ArchConfig(
@@ -86,22 +157,27 @@ def main() -> int:
         # Mel: the upsampled conditioning stream is (B, 2T, Cc) in HBM
         # (~4 GB at B=1024/T=16k -> ResourceExhausted on v5e); 512 is the
         # largest clean batch at the default clip length.
-        batch = int(os.environ.get("BENCH_BATCH", "512"))
+        if batch is None:
+            batch = int(os.environ.get("BENCH_BATCH", "512"))
     else:
         arch = ArchConfig(**_WAVENET30)
         # B=1536 is the measured throughput optimum for the mega engine on
         # v5e with the D2H-free timing (2475 a-s/s vs 2250 @ B=1024/1280,
         # 1985 @ B=2048 — docs/kernels.md). The old "512 optimum" was a
         # relay-D2H measurement artifact.
-        batch = int(os.environ.get("BENCH_BATCH", "1536"))
-    n_samples = int(os.environ.get("BENCH_SAMPLES", "8192"))
+        if batch is None:
+            batch = int(os.environ.get("BENCH_BATCH", "1536"))
+    if n_samples is None:
+        n_samples = int(os.environ.get("BENCH_SAMPLES", "8192"))
     stream_chunk_n = int(os.environ.get("BENCH_STREAM_CHUNK", "0"))
     # Engine: mega (whole loop in one Pallas kernel) is the production
     # default; it requires batch % 128 == 0, else fall back to turbo
     # (which streams too — same fallback the CLI performs).
-    engine = os.environ.get("BENCH_ENGINE", "")
-    if not engine:
-        engine = "mega" if batch % 128 == 0 else "turbo"
+    if engine is None:
+        engine = os.environ.get("BENCH_ENGINE", "")
+        if not engine:
+            engine = "mega" if batch % 128 == 0 else "turbo"
+    check_xla_engine_batch(engine, batch)
 
     params = init_params(jax.random.key(0), arch)
     params = jax.device_put(params)
@@ -237,37 +313,36 @@ def main() -> int:
 
     audio_sec = batch * n_samples / arch.sample_rate
     value = audio_sec / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "batched_ar_synthesis_throughput",
-                "value": round(value, 3),
-                "unit": "audio-sec/sec/chip",
-                "vs_baseline": round(value / 10.0, 3),
-                "detail": {
-                    "preset": preset,
-                    "batch": batch,
-                    "n_samples": n_samples,
-                    "sample_rate": arch.sample_rate,
-                    "steps_per_sec": round(n_samples / elapsed, 1),
-                    "compile_s": round(compile_s, 1), "t_short_s": round(t_short, 3), "t_long_s": round(t_long, 3),
-                    "engine": engine,
-                    "stream_chunk": stream_chunk_n or None,
-                    "backend": jax.default_backend(),
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
+    _emit(
+        {
+            "metric": metric,
+            "value": round(value, 3),
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": round(value / 10.0, 3),
+            "detail": {
+                "preset": preset,
+                "batch": batch,
+                "n_samples": n_samples,
+                "sample_rate": arch.sample_rate,
+                "steps_per_sec": round(n_samples / elapsed, 1),
+                "compile_s": round(compile_s, 1), "t_short_s": round(t_short, 3), "t_long_s": round(t_long, 3),
+                "engine": engine,
+                "stream_chunk": stream_chunk_n or None,
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+            },
+        }
     )
-    return 0
 
 
-def _train_mode() -> int:
-    """Training-throughput headline: the production recipe (fused Pallas
-    stack + tapcat + exact gradient accumulation; default B=32/accum=4 —
-    micro-batch 8 is the kernel's optimum; the recorded sweep PEAK is 4.23M
-    at B=256/accum=32, BASELINE.md). One JSON line, same schema; constant
-    per-call relay overhead cancelled by n-vs-2n difference timing."""
+def _train_line() -> None:
+    """Training-throughput line: the production recipe (fused Pallas stack +
+    tapcat + fused post/frontend kernel pairs + exact gradient accumulation).
+    Default shape is the RECORDED round-3 headline cell B=256/accum=32
+    (micro-batch 8 — the kernel's optimum; 5.00M samples/sec/chip,
+    BASELINE.md) so the driver tail carries the flagship training number
+    (VERDICT r3 item 2). One JSON line, same schema; constant per-call relay
+    overhead cancelled by n-vs-2n difference timing."""
     import jax
     import numpy as np
 
@@ -282,10 +357,10 @@ def _train_mode() -> int:
             "no BENCH_ENGINE"
         )
     arch = ArchConfig(**_WAVENET30)
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     window = int(os.environ.get("BENCH_WINDOW", "6144"))
-    accum = int(os.environ.get("BENCH_ACCUM", "4"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "8"))
+    accum = int(os.environ.get("BENCH_ACCUM", "32"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "4"))
     if n_steps <= 0:
         raise SystemExit(f"BENCH_STEPS must be positive, got {n_steps}")
     # BENCH_SP=1: the sequence-parallel train step (production recipe —
@@ -362,11 +437,15 @@ def _train_mode() -> int:
         t_long = min(t_long, dt)
     best = max(t_long - t_short, 1e-9) / n_steps
     value = batch * window / best
-    default_shape = (batch, window, accum) == (32, 6144, 4) and not sp
-    print(json.dumps({
+    default_shape = (batch, window, accum) == (256, 6144, 32) and not sp
+    _emit({
         "metric": "sp_train_throughput" if sp else "train_throughput",
         "value": round(value, 1),
         "unit": "samples/sec/chip",
+        # vs_baseline: ratio over the round-1 1.78M XLA-path step — reported
+        # only at the recorded headline shape, null otherwise, since the
+        # baseline was measured at one shape and would conflate shape
+        # effects.
         "vs_baseline": (
             round(value / 1_780_000.0, 3) if default_shape else None
         ),
@@ -376,8 +455,7 @@ def _train_mode() -> int:
             "loss": round(float(np.asarray(loss)), 4),
             "backend": jax.default_backend(),
         },
-    }))
-    return 0
+    })
 
 
 if __name__ == "__main__":

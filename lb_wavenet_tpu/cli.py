@@ -502,6 +502,16 @@ def cmd_generate(args) -> int:
                 print(json.dumps({"streamed_samples": emitted}), flush=True)
         wav_np = np.concatenate(parts, axis=1)[:, : cfg.gen.n_samples]
     else:
+        # Documented TPU-killer cell (BASELINE.md round-3 XLA row): one-shot
+        # xla-engine synthesis at batch >= 512 crashes the TPU worker on
+        # this image. Shared guard with bench.py; WAVENET_FORCE_XLA_BATCH=1
+        # overrides.
+        from .utils.hazards import check_xla_engine_batch
+
+        check_xla_engine_batch(
+            cfg.gen.engine or ("pallas" if cfg.gen.use_pallas else "xla"),
+            cfg.gen.batch_size,
+        )
         wav = generate(
             params,
             cfg.arch,
