@@ -792,10 +792,27 @@ def cmd_serve(args) -> int:
     # Mega serves ANY pool size now (SessionPool auto-pads the device
     # session to the 128-lane multiple); gen.engine overrides.
     engine = cfg.gen.engine or "mega"
+    mesh = None
+    if args.mesh_model > 1:
+        # Model-sharded pool (r4): skip-split TP sessions under shard_map.
+        from .parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % args.mesh_model:
+            raise SystemExit(
+                f"--mesh-model {args.mesh_model} must divide {n_dev} devices"
+            )
+        mesh = make_mesh(n_dev // args.mesh_model, args.mesh_model)
+        if cfg.gen.global_rng and cfg.gen.temperature > 0:
+            raise SystemExit(
+                "mesh serving needs the per-lane sampling default "
+                "(gen.global_rng=false) or temperature 0"
+            )
     pool = SessionPool(
         params, cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
         engine=engine, chunk_size=chunk,
         temperature=cfg.gen.temperature,
+        mesh=mesh,
         # Replayable per-request sampling is the default; gen.global_rng
         # opts the pool out to the session-global chain.
         per_lane_rng=not cfg.gen.global_rng,
@@ -1094,6 +1111,12 @@ def main(argv=None) -> int:
         help="double-buffer the serving loop (dispatch chunk t+1 while "
         "delivering chunk t; bit-identical output; ON by default — "
         "--no-pipeline serializes dispatch and delivery)",
+    )
+    p_serve.add_argument(
+        "--mesh-model", default=1, type=int,
+        help="model-axis size: shard the pool's model over N chips "
+        "(skip-split TP sessions at kernel speed — a model too big for "
+        "one chip can serve; r4)",
     )
     p_warm = sub.add_parser(
         "warm",

@@ -349,11 +349,27 @@ def _generate_classes_jit(
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]  # (B, E)
 
-    if model_axis is not None and engine not in ("xla", "pallas"):
-        raise ValueError(
-            f"model_axis synthesis covers the xla/pallas engines (per-step "
-            f"psum at the post hidden); {engine!r} keeps its whole step "
-            f"in-kernel"
+    if model_axis is not None and engine in ("turbo", "mega"):
+        # TP at mega-kernel speed (r4): the whole-loop/in-kernel-finale
+        # formulations degenerate to the per-step skip-psum design when a
+        # model axis is present (the psum is an XLA collective), sharing
+        # ONE fused step kernel that keeps mega's merged contractions and
+        # feature-major MXU fill (ops/pallas/ar_tp.py).
+        if return_logits:
+            raise ValueError(
+                "return_logits is not supported on the model-axis fused TP "
+                "path; use engine='pallas' (or 'xla') with model_axis for "
+                "logits"
+            )
+        if global_rng and temperature > 0.0:
+            raise ValueError(
+                "global_rng sampling draws from the in-kernel platform "
+                "PRNG, which the TP path's XLA-side sampler cannot "
+                "reproduce; use the default per-lane hash (or greedy)"
+            )
+        return _generate_classes_tp(
+            params, arch, rng, b, n_samples, cond, gcond, forced,
+            temperature, model_axis,
         )
     if engine in ("turbo", "mega"):
         return _generate_classes_fused(
@@ -639,6 +655,245 @@ def _turbo_scan(params, lp, arch: ArchConfig, carry0, seed_base, t0,
     return jax.lax.scan(body_wrap, carry0, xs)
 
 
+def _tr(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _tp_weights(params: Params, lp: dict, has_cond: bool) -> dict:
+    """Feature-major weight views for the TP fused step (ar_tp.py), built
+    once per trace. Mirrors ar_mega's operand prep: merged tap contraction
+    (wcat), merged res+skip output (wrs — the skip part may be a model-axis
+    slice; shapes flow through), transposed post/embed/input-conv mats."""
+    pp = params["post"]
+    w_in = params["input_conv"]["w"]
+    k = w_in.shape[0]
+    fm = {
+        "wcat": _tr(jnp.concatenate([lp["w_cur"], lp["w_prev"]], axis=1)),
+        "b": lp["b"][:, :, None],
+        "wrs": jnp.concatenate([_tr(lp["w_res"]), _tr(lp["w_skip"])], axis=1),
+        "brs": jnp.concatenate([lp["b_res"], lp["b_skip"]], axis=1)[:, :, None],
+        "w1T": _tr(pp["w1"]),               # (S, S_local)
+        "b1": pp["b1"][:, None],
+        "w2T": _tr(pp["w2"]),
+        "b2": pp["b2"][:, None],
+        "embT": _tr(params["embed"]),
+        "wicurT": _tr(w_in[k - 1]),
+        "bi": params["input_conv"]["b"][:, None],
+        "wipastT": jnp.swapaxes(w_in[: k - 1], 1, 2),
+    }
+    if has_cond:
+        fm["wcond"] = _tr(lp["w_cond"])
+    return fm
+
+
+def _perlane_gumbel_fm(lane, t_abs, q: int):
+    """(Q, B) Gumbel noise from the per-lane counter hash, feature-major —
+    the SAME per-(lane, t_local, class) values as perlane_gumbel and the
+    in-kernel turbo/mega samplers (ar_mega._perlane_bits)."""
+    s = lane[0][None, :].astype(jnp.uint32)               # (1, B)
+    tl = (t_abs - lane[1])[None, :].astype(jnp.uint32)    # (1, B)
+    qi = jax.lax.broadcasted_iota(jnp.uint32, (q, lane.shape[1]), 0)
+    x = _perlane_mix(s + tl * jnp.uint32(_PL_T) + qi * jnp.uint32(_PL_Q))
+    u = (
+        jax.lax.shift_right_logical(x, jnp.uint32(8)).astype(jnp.float32)
+        + 0.5
+    ) * (1.0 / (1 << 24))
+    return -jnp.log(-jnp.log(u))
+
+
+def _tp_scan(params, fm, arch: ArchConfig, carry0, t0, cond_ts, forced_ts,
+             temperature: float, has_cond: bool, interpret: bool,
+             model_axis: str, lane=None):
+    """Scan of the TP fused step: kernel through the LOCAL skip accumulator,
+    then ONE psum completes the post hidden; sampling (per-lane hash or
+    greedy) and the next step's frontend run in XLA feature-major, mirroring
+    the mega kernel's op order exactly (ar_tp.py module doc). carry =
+    (bufs (sum_d, C, B), h (C, B), e_s ((K-1)C, B)). Returns
+    (final carry, classes (T, B))."""
+    from .ops.pallas.ar_tp import tp_fused_stack
+
+    dt = jnp.dtype(arch.compute_dtype)
+    offsets = jnp.asarray(buffer_offsets(arch), jnp.int32)
+    dils = jnp.asarray(arch.dilations, jnp.int32)
+    n_steps = forced_ts.shape[0]
+    c = arch.residual_channels
+    k_taps = arch.input_kernel
+
+    def mm(w, a):
+        return jax.lax.dot_general(
+            w.astype(dt), a.astype(dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def body(carry, inp):
+        bufs, h, e_s = carry
+        t, cond_t, forced_t = inp
+        slots = offsets + jax.lax.rem(t, dils)
+        cond_fm = _tr(cond_t) if cond_t is not None else None  # (Cc, B)
+        new_bufs, skip_local = tp_fused_stack(
+            fm, arch, h, bufs, slots, cond_t=cond_fm, interpret=interpret
+        )
+        # The entire collective budget of model-sharded synthesis: one psum
+        # of the (S, B) partial post hidden per STEP (docs/kernels.md).
+        part = mm(fm["w1T"], jax.nn.relu(skip_local))
+        hidden = jax.nn.relu(
+            jax.lax.psum(part, model_axis) + fm["b1"]
+        )
+        logits = mm(fm["w2T"], hidden) + fm["b2"]              # (Q, B)
+        q, b = logits.shape
+        if temperature > 0.0:
+            scores = logits * (1.0 / temperature) + _perlane_gumbel_fm(
+                lane, t, q
+            )
+        else:
+            scores = logits
+        # First-max argmax (mega's in-kernel tie semantics).
+        m = jnp.max(scores, axis=0, keepdims=True)
+        row = jax.lax.broadcasted_iota(jnp.int32, (q, b), 0)
+        cls = jnp.min(
+            jnp.where(scores >= m, row, jnp.int32(q)), axis=0
+        ).astype(jnp.int32)
+        cls = jnp.where(forced_t >= 0, forced_t, cls)
+
+        onehot = (row == cls[None, :]).astype(jnp.float32)
+        e_next = mm(fm["embT"], onehot)                        # (C, B)
+        h_new = fm["bi"] + mm(fm["wicurT"], e_next)
+        for j in range(k_taps - 1):
+            h_new = h_new + mm(fm["wipastT"][j], e_s[j * c : (j + 1) * c])
+        new_es = (
+            jnp.concatenate([e_s[c:], e_next], axis=0)
+            if k_taps > 1 else e_s
+        )
+        return (new_bufs, h_new, new_es), cls
+
+    ts = t0 + jnp.arange(n_steps, dtype=jnp.int32)
+    xs = (ts, cond_ts if has_cond else ts, forced_ts)
+
+    def body_wrap(carry, inp):
+        t, cond_t, forced_t = inp
+        return body(carry, (t, cond_t if has_cond else None, forced_t))
+
+    return jax.lax.scan(body_wrap, carry0, xs)
+
+
+def _generate_classes_tp(
+    params: Params,
+    arch: ArchConfig,
+    rng: jax.Array,
+    b: int,
+    n_samples: int,
+    cond: Optional[jnp.ndarray],
+    gcond: Optional[jnp.ndarray],
+    forced: Optional[jnp.ndarray],
+    temperature: float,
+    model_axis: str,
+):
+    """One-shot model-sharded generation at mega-kernel speed (inside
+    shard_map only — parallel/synthesis._skip_sharded_generate places the
+    skip-sliced params and supplies `model_axis`)."""
+    interpret = jax.default_backend() == "cpu"
+    cond_ts = None
+    if cond is not None:
+        cond_ts = jnp.swapaxes(cond[:, :n_samples], 0, 1)  # (T, B, Cc)
+    lp, cond_ts = _fold_gcond(
+        params, params["layers"], cond_ts, gcond, n_samples
+    )
+    has_cond = cond_ts is not None
+    if forced is None:
+        forced_ts = jnp.full((n_samples, b), -1, jnp.int32)
+    else:
+        forced_ts = jnp.swapaxes(forced[:, :n_samples], 0, 1).astype(jnp.int32)
+
+    h0, e0 = _fused_frontend_zero(params, arch, b)
+    from .ops.pallas.ar_mega import estack_feature_major
+
+    carry0 = (
+        jnp.zeros((sum(arch.dilations), arch.residual_channels, b)),
+        _tr(h0).astype(jnp.float32),
+        estack_feature_major(e0),
+    )
+    seed_base = _seed_base(rng)
+    lane = None
+    if temperature > 0.0:
+        lane = jnp.stack(
+            [derive_lane_seeds(seed_base, b), jnp.zeros((b,), jnp.int32)]
+        )
+    fm = _tp_weights(params, lp, has_cond)
+    _, out = _tp_scan(
+        params, fm, arch, carry0, jnp.int32(0), cond_ts, forced_ts,
+        temperature, has_cond, interpret, model_axis, lane=lane,
+    )
+    return jnp.swapaxes(out, 0, 1)  # (T, B) -> (B, T)
+
+
+def _tp_stream_chunk(
+    params: Params,
+    arch: ArchConfig,
+    stream,
+    chunk_size: int,
+    cond,
+    gcond,
+    forced,
+    temperature: float,
+    model_axis: str,
+    lane_seed=None,
+    lane_t0=None,
+):
+    """One model-sharded chunk on the TP fused step (see _tp_scan): the
+    carried state is the feature-major (bufs, h, e_s) triple; ring-slot
+    phase and the per-lane hash use the ABSOLUTE time stream.t + step, so
+    chunked output bit-matches the one-shot TP run."""
+    interpret = jax.default_backend() == "cpu"
+    st = stream.state
+    b = st["h"].shape[-1]
+    cond_ts = jnp.swapaxes(cond, 0, 1) if cond is not None else None
+    lp, cond_ts = _fold_gcond(
+        params, params["layers"], cond_ts, gcond, chunk_size
+    )
+    has_cond = cond_ts is not None
+    if forced is None:
+        forced_ts = jnp.full((chunk_size, b), -1, jnp.int32)
+    else:
+        forced_ts = jnp.swapaxes(forced, 0, 1).astype(jnp.int32)
+    lane = None
+    if lane_seed is not None:
+        lane = jnp.stack(
+            [lane_seed.astype(jnp.int32), lane_t0.astype(jnp.int32)]
+        )
+    fm = _tp_weights(params, lp, has_cond)
+    (bufs, h, e_s), out = _tp_scan(
+        params, fm, arch, (st["bufs"], st["h"], st["e_s"]), stream.t,
+        cond_ts, forced_ts, temperature, has_cond, interpret, model_axis,
+        lane=lane,
+    )
+    new_stream = Stream(
+        {"bufs": bufs, "h": h, "e_s": e_s, "seed_base": st["seed_base"]},
+        stream.t + jnp.int32(chunk_size),
+    )
+    return jnp.swapaxes(out, 0, 1), new_stream
+
+
+def _tp_reset_lanes(params: Params, arch: ArchConfig, stream, lane_mask):
+    """reset_lanes for the TP stream state (feature-major: lanes are the
+    LAST dim of every carried array); same zero-ring argument as the other
+    engines (see reset_lanes)."""
+    from .ops.pallas.ar_mega import estack_feature_major
+
+    st = stream.state
+    b = st["h"].shape[-1]
+    h0, e0 = _fused_frontend_zero(params, arch, b)
+    col = lane_mask[None, :]
+    return Stream(
+        {
+            "bufs": jnp.where(lane_mask[None, None, :], 0.0, st["bufs"]),
+            "h": jnp.where(col, _tr(h0).astype(jnp.float32), st["h"]),
+            "e_s": jnp.where(col, estack_feature_major(e0), st["e_s"]),
+            "seed_base": st["seed_base"],
+        },
+        stream.t,
+    )
+
+
 class Stream(NamedTuple):
     """Carried state for incremental (chunked) synthesis.
 
@@ -719,6 +974,7 @@ def start_stream(
     rng: jax.Array,
     engine: str = "xla",
     params: Optional[Params] = None,
+    model_axis: Optional[str] = None,
 ) -> Stream:
     """Open a streaming-synthesis session (see stream_chunk).
 
@@ -728,7 +984,28 @@ def start_stream(
     `padded_stream_batch(batch, "mega")` and slice the pad lanes off, as
     SessionPool and the CLI do, to serve any logical batch). The fused
     engines need `params` here to seed their in-kernel state.
+
+    `model_axis` (inside shard_map only — parallel/synthesis places the
+    skip-sliced params): turbo/mega sessions then carry the feature-major
+    TP step state (ar_tp.py) instead of the in-kernel carries; any batch
+    (no 128-lane DMA constraint). Scan engines keep their RingState (the
+    skip slice only changes per-chunk math, not the carried state).
     """
+    if engine in ("mega", "turbo") and model_axis is not None:
+        if params is None:
+            raise ValueError(f"start_stream(engine='{engine}') needs params")
+        h0, e0 = _fused_frontend_zero(params, arch, batch)
+        from .ops.pallas.ar_mega import estack_feature_major
+
+        state = {
+            "bufs": jnp.zeros(
+                (sum(arch.dilations), arch.residual_channels, batch)
+            ),
+            "h": _tr(h0).astype(jnp.float32),
+            "e_s": estack_feature_major(e0),
+            "seed_base": _seed_base(rng),
+        }
+        return Stream(state, jnp.int32(0))
     if engine in ("mega", "turbo"):
         if params is None:
             raise ValueError(f"start_stream(engine='{engine}') needs params")
@@ -757,7 +1034,7 @@ def start_stream(
     jax.jit,
     static_argnames=(
         "arch", "chunk_size", "temperature", "engine", "return_logits",
-        "global_rng",
+        "global_rng", "model_axis",
     ),
 )
 def stream_chunk(
@@ -774,6 +1051,7 @@ def stream_chunk(
     lane_seed: Optional[jnp.ndarray] = None,  # (B,) int32 per-lane seeds
     lane_t0: Optional[jnp.ndarray] = None,    # (B,) int32 lane lease times
     global_rng: bool = False,
+    model_axis: Optional[str] = None,
 ):
     """Emit the next chunk_size samples and the advanced stream.
 
@@ -817,6 +1095,29 @@ def stream_chunk(
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]
 
+    if model_axis is not None and engine in ("mega", "turbo"):
+        # Model-sharded streaming (r4): the TP step state (ar_tp.py) is
+        # carried instead of the in-kernel mega/turbo carries; one psum
+        # per step, same as the one-shot TP path.
+        if return_logits:
+            raise ValueError(
+                "return_logits is not supported on the model-axis fused TP "
+                "path"
+            )
+        if global_rng and temperature > 0.0:
+            raise ValueError(
+                "global_rng sampling is not available under model-axis "
+                "streaming; use per-lane seeds (the default) or greedy"
+            )
+        b_dev = stream.state["h"].shape[-1]
+        if lane_seed is None and temperature > 0.0:
+            lane_seed = derive_lane_seeds(stream.state["seed_base"], b_dev)
+            lane_t0 = jnp.zeros((b_dev,), jnp.int32)
+        return _tp_stream_chunk(
+            params, arch, stream, chunk_size, cond, gcond, forced,
+            temperature, model_axis, lane_seed, lane_t0,
+        )
+
     if engine in ("mega", "turbo") and lane_seed is None and (
         temperature > 0.0 and not global_rng
     ):
@@ -845,7 +1146,7 @@ def stream_chunk(
     new_state, out = _run_scan_engine(
         params, arch, stream.state, stream.t, chunk_size, cond, forced,
         gcond, temperature, return_logits, engine,
-        lane_seed=lane_seed, lane_t0=lane_t0,
+        lane_seed=lane_seed, lane_t0=lane_t0, model_axis=model_axis,
     )
     new_stream = Stream(new_state, stream.t + jnp.int32(chunk_size))
     if return_logits:
@@ -998,13 +1299,14 @@ def _mega_stream_chunk(
     return cls_bt, new_stream
 
 
-@functools.partial(jax.jit, static_argnames=("arch", "engine"))
+@functools.partial(jax.jit, static_argnames=("arch", "engine", "model_axis"))
 def reset_lanes(
     params: Params,
     arch: ArchConfig,
     stream: Stream,
     lane_mask: jnp.ndarray,  # (B,) bool: True = recycle this lane
     engine: str = "xla",
+    model_axis: Optional[str] = None,
 ) -> Stream:
     """Continuous batching: reset the masked lanes to a fresh session start.
 
@@ -1030,6 +1332,9 @@ def reset_lanes(
     """
     lane_mask = lane_mask.astype(bool)
     st = stream.state
+    if model_axis is not None and engine in ("mega", "turbo"):
+        # TP streaming state (model-sharded sessions): feature-major reset.
+        return _tp_reset_lanes(params, arch, stream, lane_mask)
     if engine in ("xla", "pallas"):
         rs: RingState = st
         col = lane_mask[None, :, None]

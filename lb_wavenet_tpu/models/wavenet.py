@@ -229,7 +229,14 @@ def input_frontend(
     fused_frontend routes the whole thing (fwd + grads) through the Pallas
     kernel pair in ops/pallas/frontend.py — bit-exact for bf16 compute,
     subsumes mm_embed_grad (TrainConfig.fused_frontend).
+
+    CONTRACT: the mask is STRUCTURAL (halo/boundary exclusion, data-derived)
+    and non-differentiable — enforced with stop_gradient here so the XLA
+    path can never silently diverge from the fused kernel's hard-zero mask
+    cotangent (ADVICE r3).
     """
+    if input_mask is not None:
+        input_mask = jax.lax.stop_gradient(input_mask)
     if fused_frontend:
         from ..ops.pallas.frontend import fused_frontend as _ff
 
@@ -298,6 +305,10 @@ def forward(
     """
     dtype = jnp.dtype(arch.compute_dtype)
     lp = params["layers"]
+    if input_mask is not None:
+        # Structural, non-differentiable by contract (see input_frontend):
+        # covers the per-layer residual re-masking below too.
+        input_mask = jax.lax.stop_gradient(input_mask)
     if cond is not None and cond_frames is not None:
         raise ValueError("pass cond_frames OR pre-upsampled cond, not both")
     if cond_frames is not None:

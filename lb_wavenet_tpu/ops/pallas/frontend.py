@@ -348,6 +348,10 @@ def fused_frontend(
         return (
             demb, dw, db,
             np.zeros(xp_.shape, jax.dtypes.float0),
+            # Hard-zero mask cotangent is CORRECT by contract: the mask is
+            # structural and stop_gradient'ed at every call site
+            # (models/wavenet.input_frontend / forward — ADVICE r3), so the
+            # XLA and fused paths agree on a zero mask gradient.
             None if mp_ is None else jnp.zeros_like(mp_),
         )
 

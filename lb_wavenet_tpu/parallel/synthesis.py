@@ -95,21 +95,19 @@ def mesh_generate_classes(
     n_model = mesh.shape[MODEL_AXIS]
     if batch % n_data:
         raise ValueError(f"global batch {batch} % data axis {n_data} != 0")
-    if n_model > 1 and engine == "pallas":
-        # Kernel-speed TP (r3): each shard runs the fused stack kernel on
-        # its SKIP-channel slice; one per-step psum completes the post
-        # hidden (generate.post_network_sharded). Composes with the data
-        # axis. The skip split needs no per-layer collective because
+    if n_model > 1 and engine in FUSED_ENGINES:
+        # Kernel-speed TP: each shard runs a fused kernel on its
+        # SKIP-channel slice; one per-step psum completes the post hidden.
+        # engine="pallas" (r3) uses the batch-major ar_step kernel +
+        # generate.post_network_sharded; "turbo"/"mega" (r4) share the
+        # mega-class feature-major per-step kernel (ops/pallas/ar_tp.py —
+        # the whole-loop formulation degenerates to per-step once the psum
+        # collective enters the loop). Composes with the data axis. The
+        # skip split needs no per-layer collective because
         # skip = sum_l z_l @ w_skip_l is column-separable.
         return _skip_sharded_generate(
             params, arch, rng, batch, n_samples, mesh, engine,
             cond, speaker_ids, forced, temperature, **kwargs,
-        )
-    if n_model > 1 and engine != "xla":
-        raise ValueError(
-            f"model-axis sharding needs engine='xla' (GSPMD-partitionable) "
-            f"or 'pallas' (shard_map skip-split, kernel speed); the "
-            f"{engine!r} kernels keep the whole loop in one single-chip program"
         )
 
     param_specs = (
@@ -213,6 +211,22 @@ def _skip_sharded_generate(
     like the GSPMD xla path). Composes with data-axis batch sharding
     (fold_in decorrelates the DATA shards only)."""
     n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+    if arch.skip_channels % n_model:
+        # Without this, a non-dividing mesh surfaces as an opaque
+        # shard_map/sharding error deep inside jit (ADVICE r3).
+        raise ValueError(
+            f"skip-split model sharding needs skip_channels "
+            f"({arch.skip_channels}) % model axis ({n_model}) == 0"
+        )
+    if kwargs.get("return_logits"):
+        # The shard_map out_specs cover a single (B, T) class output; a
+        # tuple return would fail with a confusing pytree-structure error
+        # (ADVICE r3).
+        raise ValueError(
+            "return_logits is not supported under model-axis sharding; "
+            "run the xla engine unsharded (or per shard) for logits"
+        )
     shard_b = batch // n_data
     param_specs = skip_sharded_param_specs(params)
     params = jax.tree_util.tree_map(
@@ -245,6 +259,178 @@ def _skip_sharded_generate(
         out_shardings=out_sharding,
     )
     return fn(params, key_data, opt)
+
+
+class ShardedSession:
+    """Model-sharded STREAMING session (r4, VERDICT r3 item 5): a model too
+    big for one chip can now stream and serve, not just one-shot.
+
+    Wraps generate's streaming primitives (start_stream / stream_chunk /
+    reset_lanes) in shard_map over a (data, model) mesh with the skip-split
+    parameter layout (skip_sharded_param_specs): fused engines (turbo/mega)
+    carry the feature-major TP step state (ops/pallas/ar_tp.py, one psum
+    per step), the pallas engine carries its RingState with the per-step
+    psum at the post hidden. Chunked output bit-matches the sharded
+    one-shot path (same fold_in/seed_base derivation, absolute-time ring
+    phase — tests/test_distributed_synthesis.py).
+
+    Single-controller usage (SessionPool's mesh mode, `wavenet serve
+    --mesh-model`): inputs are host-replicated global arrays; classes come
+    back as a global (B, chunk) array sharded over `data`.
+    """
+
+    def __init__(
+        self,
+        params,
+        arch: ArchConfig,
+        batch: int,
+        rng: jax.Array,
+        mesh: Mesh,
+        engine: str = "mega",
+    ):
+        if engine not in FUSED_ENGINES:
+            raise ValueError(
+                f"ShardedSession engines: {FUSED_ENGINES}; the xla engine "
+                f"streams via GSPMD jit directly"
+            )
+        n_data = mesh.shape[DATA_AXIS]
+        n_model = mesh.shape[MODEL_AXIS]
+        if batch % n_data:
+            raise ValueError(f"batch {batch} % data axis {n_data} != 0")
+        if arch.skip_channels % n_model:
+            raise ValueError(
+                f"skip-split model sharding needs skip_channels "
+                f"({arch.skip_channels}) % model axis ({n_model}) == 0"
+            )
+        self.arch = arch
+        self.mesh = mesh
+        self.engine = engine
+        self.batch = batch
+        self.shard_b = batch // n_data
+        self._tp = engine in ("turbo", "mega")
+        self.param_specs = skip_sharded_param_specs(params)
+        self.params = jax.tree_util.tree_map(
+            lambda x, sp: _place_global(x, mesh, sp), params, self.param_specs
+        )
+        self._chunk_fns = {}
+
+        from .. import generate as G
+
+        key_impl = str(jax.random.key_impl(rng))
+        key_data = _place_global(mesh=mesh, spec=P(), arr=jax.random.key_data(rng))
+        state_specs = self._state_specs()
+
+        def per_shard_init(p, kd):
+            r = jax.random.wrap_key_data(kd, impl=key_impl)
+            r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+            stream = G.start_stream(
+                self.arch, self.shard_b, r, engine=engine, params=p,
+                model_axis=MODEL_AXIS if self._tp else None,
+            )
+            return stream.state, stream.t
+
+        init = jax.jit(shard_map(
+            per_shard_init, mesh=mesh,
+            in_specs=(self.param_specs, P()),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        ))
+        self._state, self._t = init(self.params, key_data)
+        self._state_specs_cached = state_specs
+
+        def per_shard_reset(p, state, t, mask):
+            s = G.reset_lanes(
+                p, self.arch, G.Stream(state, t), mask, engine=engine,
+                model_axis=MODEL_AXIS if self._tp else None,
+            )
+            return s.state, s.t
+
+        self._reset_fn = jax.jit(shard_map(
+            per_shard_reset, mesh=mesh,
+            in_specs=(self.param_specs, state_specs, P(), P(DATA_AXIS)),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        ))
+
+    def _state_specs(self):
+        from ..generate import RingState
+
+        if self._tp:
+            return {
+                "bufs": P(None, None, DATA_AXIS),
+                "h": P(None, DATA_AXIS),
+                "e_s": P(None, DATA_AXIS),
+                "seed_base": P(),
+            }
+        return RingState(
+            embed_buf=P(None, DATA_AXIS, None),
+            bufs=P(None, DATA_AXIS, None),
+            prev_class=P(DATA_AXIS),
+            rng=P(),
+        )
+
+    @property
+    def t(self) -> int:
+        return int(np.asarray(self._t))
+
+    def chunk(
+        self,
+        chunk_size: int,
+        cond=None,                 # (B, chunk, Cc) np/jnp, host-replicated
+        speaker_ids=None,          # (B,)
+        forced=None,               # (B, chunk)
+        temperature: float = 1.0,
+        lane_seed=None,            # (B,) int32 (serving pools)
+        lane_t0=None,
+    ):
+        """Emit the next chunk: returns a global (B, chunk) class array
+        sharded over `data`; the session state advances in place."""
+        from .. import generate as G
+
+        opt = {}
+        for name, val in (
+            ("cond", cond), ("speaker_ids", speaker_ids), ("forced", forced),
+            ("lane_seed", lane_seed), ("lane_t0", lane_t0),
+        ):
+            if val is not None:
+                opt[name] = _place_global(val, self.mesh, _batch_spec(val))
+        key = (chunk_size, float(temperature), tuple(sorted(opt)))
+        if key not in self._chunk_fns:
+            specs = {k: _batch_spec(v) for k, v in opt.items()}
+
+            def per_shard_chunk(p, state, t, o):
+                cls, new_stream = G.stream_chunk(
+                    p, self.arch, G.Stream(state, t), chunk_size,
+                    temperature=temperature, engine=self.engine,
+                    model_axis=MODEL_AXIS,
+                    **o,
+                )
+                return cls, new_stream.state, new_stream.t
+
+            self._chunk_fns[key] = jax.jit(shard_map(
+                per_shard_chunk, mesh=self.mesh,
+                in_specs=(
+                    self.param_specs, self._state_specs_cached, P(), specs
+                ),
+                out_specs=(
+                    P(DATA_AXIS, None), self._state_specs_cached, P()
+                ),
+                check_vma=False,
+            ))
+        cls, self._state, self._t = self._chunk_fns[key](
+            self.params, self._state, self._t, opt
+        )
+        return cls
+
+    def reset_lanes(self, lane_mask) -> None:
+        """Recycle the masked lanes to fresh t=0 sessions (continuous
+        batching under model sharding)."""
+        mask = _place_global(
+            np.asarray(lane_mask, bool), self.mesh, P(DATA_AXIS)
+        )
+        self._state, self._t = self._reset_fn(
+            self.params, self._state, self._t, mask
+        )
 
 
 def fleet_generate_classes(

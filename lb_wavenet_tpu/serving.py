@@ -85,6 +85,7 @@ class SessionPool:
         temperature: float = 1.0,
         pipeline: bool = False,
         per_lane_rng: bool = True,
+        mesh=None,
     ):
         self.params = params
         self.arch = arch
@@ -92,6 +93,26 @@ class SessionPool:
         self.engine = engine
         self.chunk_size = chunk_size
         self.temperature = temperature
+        # mesh (r4): serve a MODEL-SHARDED pool — the streaming session
+        # runs under shard_map with the skip-split parameter layout
+        # (parallel/synthesis.ShardedSession), so a model too big for one
+        # chip can serve requests; composes with a data axis for fleet
+        # pools. Sampling stays per-lane-hash (global_rng is not
+        # reproducible under the TP step's XLA-side sampler).
+        self.mesh = mesh
+        self._session = None
+        if mesh is not None:
+            if not per_lane_rng and temperature > 0.0:
+                raise ValueError(
+                    "mesh pools need per_lane_rng=True (or greedy): the "
+                    "session-global platform chain is not available under "
+                    "model sharding"
+                )
+            from .parallel.synthesis import ShardedSession
+
+            self._session = ShardedSession(
+                params, arch, batch, rng, mesh, engine=engine
+            )
         # pipeline=True double-buffers step(): chunk t+1 is DISPATCHED
         # (async) before chunk t's classes are fetched to the host, so the
         # device computes while the host delivers — step() then returns the
@@ -121,11 +142,18 @@ class SessionPool:
         # The device session is auto-padded to the engine's lane multiple
         # (mega: 128 on TPU) so the fastest engine serves ANY pool size;
         # pad lanes are permanently free-running throwaways, never leased.
-        self._device_batch = padded_stream_batch(batch, engine)
+        # Mesh pools: the TP step has no lane-multiple constraint (BlockSpec
+        # lanes, not manual DMA), so the device batch is the pool batch.
+        self._device_batch = (
+            batch if mesh is not None else padded_stream_batch(batch, engine)
+        )
         self._lane_seed = np.zeros(self._device_batch, np.int32)
         self._lane_t0 = np.zeros(self._device_batch, np.int32)
-        self.stream = start_stream(arch, self._device_batch, rng,
-                                   engine=engine, params=params)
+        self.stream = (
+            None if mesh is not None
+            else start_stream(arch, self._device_batch, rng,
+                              engine=engine, params=params)
+        )
         self._lanes: List[Optional[_Lease]] = [None] * batch
         self._pending_reset = np.zeros(self._device_batch, dtype=bool)
         # Lane 0..B-1 of a brand-new stream is already a fresh session, so
@@ -214,15 +242,19 @@ class SessionPool:
         reusable from the next dispatch), returning (device classes,
         delivery metadata)."""
         if self._pending_reset.any():
-            self.stream = reset_lanes(
-                self.params, self.arch, self.stream,
-                # .copy(): on the CPU backend jnp.asarray can ZERO-COPY
-                # alias numpy memory, and this host array is mutated below
-                # while the async dispatch may still be reading it — a real
-                # race (bit-flips in recycled lanes) first caught by the
-                # pipelined-pool test.
-                jnp.asarray(self._pending_reset.copy()), engine=self.engine,
-            )
+            if self._session is not None:
+                self._session.reset_lanes(self._pending_reset.copy())
+            else:
+                self.stream = reset_lanes(
+                    self.params, self.arch, self.stream,
+                    # .copy(): on the CPU backend jnp.asarray can ZERO-COPY
+                    # alias numpy memory, and this host array is mutated
+                    # below while the async dispatch may still be reading
+                    # it — a real race (bit-flips in recycled lanes) first
+                    # caught by the pipelined-pool test.
+                    jnp.asarray(self._pending_reset.copy()),
+                    engine=self.engine,
+                )
             self._pending_reset[:] = False
 
         speaker_ids = None
@@ -263,16 +295,22 @@ class SessionPool:
                 lane_seed=jnp.asarray(self._lane_seed.copy()),
                 lane_t0=jnp.asarray(self._lane_t0.copy()),
             )
-        classes, self.stream = stream_chunk(
-            self.params, self.arch, self.stream, self.chunk_size,
-            cond=cond, speaker_ids=speaker_ids,
-            temperature=self.temperature, engine=self.engine,
-            # per_lane_rng=False means the session-GLOBAL chain, not the
-            # engine-default derived lane seeds (which would be lane-
-            # position-dependent and mid-stream non-replayable anyway).
-            global_rng=not self.per_lane_rng,
-            **lane_kw,
-        )
+        if self._session is not None:
+            classes = self._session.chunk(
+                self.chunk_size, cond=cond, speaker_ids=speaker_ids,
+                temperature=self.temperature, **lane_kw,
+            )
+        else:
+            classes, self.stream = stream_chunk(
+                self.params, self.arch, self.stream, self.chunk_size,
+                cond=cond, speaker_ids=speaker_ids,
+                temperature=self.temperature, engine=self.engine,
+                # per_lane_rng=False means the session-GLOBAL chain, not the
+                # engine-default derived lane seeds (which would be lane-
+                # position-dependent and mid-stream non-replayable anyway).
+                global_rng=not self.per_lane_rng,
+                **lane_kw,
+            )
         if self.arch.quant_channels <= 256:
             classes = _narrow_u8(classes)
         self._t_dispatched += self.chunk_size

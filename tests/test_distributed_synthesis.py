@@ -115,14 +115,107 @@ def test_fleet_shards_forced_priming():
     np.testing.assert_array_equal(np.asarray(fleet), np.asarray(ref))
 
 
-def test_fused_fleet_mesh_rejected_for_model_axis():
-    import pytest as _pytest
+def test_model_sharded_tp_mega_matches_single_device():
+    """r4 (VERDICT r3 item 4): TP at MEGA-kernel speed — the per-step
+    skip-psum shard_map variant (ops/pallas/ar_tp.py). Greedy and sampled
+    classes equal the single-device MEGA run (the TP step mirrors mega's
+    merged-contraction accumulation order and consumes the same per-lane
+    hash noise; fold_in RNG contract as everywhere)."""
+    params = init_params(jax.random.key(0), MICRO)
+    key = jax.random.key(11)
+    mesh = make_mesh(1, 8)  # pure model axis: skip 8 -> 1 channel/shard
+    for temp, label in ((0.0, "greedy"), (1.0, "sampled")):
+        ref = np.asarray(generate_classes(
+            params, MICRO, jax.random.fold_in(key, 0), B, T,
+            temperature=temp, engine="mega",
+        ))
+        out = model_sharded_generate_classes(
+            params, MICRO, key, B, T, mesh, engine="mega", temperature=temp,
+        )
+        np.testing.assert_array_equal(np.asarray(out), ref, err_msg=label)
+
+
+def test_model_sharded_tp_turbo_shares_the_path():
+    """turbo under a model axis rides the same ar_tp step (its in-kernel
+    finale cannot host the psum either); classes == single-device turbo ==
+    single-device mega for the tested horizon."""
+    params = init_params(jax.random.key(0), MICRO)
+    key = jax.random.key(12)
+    ref = np.asarray(generate_classes(
+        params, MICRO, jax.random.fold_in(key, 0), B, T,
+        temperature=1.0, engine="turbo",
+    ))
+    out = model_sharded_generate_classes(
+        params, MICRO, key, B, T, make_mesh(1, 8), engine="turbo",
+        temperature=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_model_sharded_tp_mega_composes_with_data_axis():
+    """data x model mesh on the TP-mega path: each data shard's lanes equal
+    a single-device mega run of that shard with the folded key."""
+    from lb_wavenet_tpu.parallel.synthesis import mesh_generate_classes
 
     params = init_params(jax.random.key(0), MICRO)
-    mesh = make_mesh(2, 4)
-    with _pytest.raises(ValueError, match="single-chip"):
-        fleet_generate_classes(
-            params, MICRO, jax.random.key(0), B, T, mesh, engine="mega"
+    key = jax.random.key(13)
+    out = np.asarray(mesh_generate_classes(
+        params, MICRO, key, B, T, make_mesh(2, 4), engine="mega",
+        temperature=1.0,
+    ))
+    half = B // 2
+    for i in range(2):
+        ref = np.asarray(generate_classes(
+            params, MICRO, jax.random.fold_in(key, i), half, T,
+            temperature=1.0, engine="mega",
+        ))
+        np.testing.assert_array_equal(out[i * half : (i + 1) * half], ref)
+
+
+def test_model_sharded_tp_mega_forced_and_cond():
+    """Priming (`forced`) and speaker conditioning ride the TP-mega path."""
+    import dataclasses
+
+    arch = dataclasses.replace(MICRO, n_speakers=3)
+    params = init_params(jax.random.key(0), arch)
+    key = jax.random.key(14)
+    forced = np.full((B, T), -1, np.int32)
+    forced[:, : T // 3] = (
+        np.arange(B)[:, None] * 5 + np.arange(T // 3)[None, :]
+    ) % 256
+    spk = np.arange(B, dtype=np.int32) % 3
+    ref = np.asarray(generate_classes(
+        params, arch, jax.random.fold_in(key, 0), B, T,
+        forced=jnp.asarray(forced), speaker_ids=jnp.asarray(spk),
+        temperature=0.0, engine="mega",
+    ))
+    out = model_sharded_generate_classes(
+        params, arch, key, B, T, make_mesh(1, 8), engine="mega",
+        forced=forced, speaker_ids=spk, temperature=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_skip_split_guardrails():
+    """ADVICE r3: clear errors for a non-dividing skip split and for
+    return_logits under model sharding (instead of opaque shard_map
+    failures)."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    arch12 = dataclasses.replace(MICRO, skip_channels=12)
+    params12 = init_params(jax.random.key(0), arch12)
+    with _pytest.raises(ValueError, match="skip_channels"):
+        model_sharded_generate_classes(
+            params12, arch12, jax.random.key(0), B, T, make_mesh(1, 8),
+            engine="pallas",
+        )
+    params = init_params(jax.random.key(0), MICRO)
+    with _pytest.raises(ValueError, match="return_logits"):
+        model_sharded_generate_classes(
+            params, MICRO, jax.random.key(0), B, T, make_mesh(1, 8),
+            engine="pallas", return_logits=True,
         )
 
 
@@ -185,3 +278,48 @@ def test_model_sharded_xla_engine_with_explicit_axis_matches():
         None, None, None, 0.0,
     )
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_sharded_streaming_bit_matches_sharded_one_shot():
+    """r4 (VERDICT r3 item 5): model-sharded STREAMING — chunked emission
+    under the skip-split shard_map session equals the sharded one-shot
+    path exactly (ring phase + per-lane hash continue on absolute time),
+    for both the TP fused step (mega) and the pallas engine."""
+    from lb_wavenet_tpu.parallel.synthesis import ShardedSession
+
+    params = init_params(jax.random.key(0), MICRO)
+    key = jax.random.key(21)
+    mesh = make_mesh(2, 4)
+    chunk = T // 3
+    for engine in ("mega", "pallas"):
+        one = np.asarray(model_sharded_generate_classes(
+            params, MICRO, key, B, T, mesh, engine=engine, temperature=1.0,
+        ))
+        sess = ShardedSession(params, MICRO, B, key, mesh, engine=engine)
+        parts = [
+            np.asarray(sess.chunk(chunk, temperature=1.0)) for _ in range(3)
+        ]
+        np.testing.assert_array_equal(
+            np.concatenate(parts, axis=1), one, err_msg=engine
+        )
+        assert sess.t == T
+
+
+def test_sharded_session_reset_lane_equals_fresh_session():
+    """Continuous batching under model sharding: a recycled lane's greedy
+    output bit-matches a fresh sharded session (the reset_lanes contract,
+    now on the TP stream state)."""
+    from lb_wavenet_tpu.parallel.synthesis import ShardedSession
+
+    params = init_params(jax.random.key(0), MICRO)
+    key = jax.random.key(22)
+    mesh = make_mesh(2, 4)
+    sess = ShardedSession(params, MICRO, B, key, mesh, engine="mega")
+    sess.chunk(T, temperature=0.0)              # free-run everything
+    mask = np.zeros(B, bool)
+    mask[3] = True
+    sess.reset_lanes(mask)
+    recycled = np.asarray(sess.chunk(T, temperature=0.0))[3]
+    fresh = ShardedSession(params, MICRO, B, key, mesh, engine="mega")
+    fresh_out = np.asarray(fresh.chunk(T, temperature=0.0))[3]
+    np.testing.assert_array_equal(recycled, fresh_out)
