@@ -808,11 +808,19 @@ def cmd_serve(args) -> int:
                 "mesh serving needs the per-lane sampling default "
                 "(gen.global_rng=false) or temperature 0"
             )
+    acc = 0
+    if args.deliver == "request":
+        # Ring capacity: the longest request plus two chunks of slack
+        # (see SessionPool.submit), rounded to the chunk multiple.
+        max_n = max(r[1] for r in requests)
+        acc = max(-(-(max_n + 2 * chunk) // chunk) * chunk, 4 * chunk)
     pool = SessionPool(
         params, cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
         engine=engine, chunk_size=chunk,
         temperature=cfg.gen.temperature,
         mesh=mesh,
+        deliver=args.deliver,
+        **({"acc_samples": acc} if acc else {}),
         # Replayable per-request sampling is the default; gen.global_rng
         # opts the pool out to the session-global chain.
         per_lane_rng=not cfg.gen.global_rng,
@@ -1117,6 +1125,13 @@ def main(argv=None) -> int:
         help="model-axis size: shard the pool's model over N chips "
         "(skip-split TP sessions at kernel speed — a model too big for "
         "one chip can serve; r4)",
+    )
+    p_serve.add_argument(
+        "--deliver", choices=("chunk", "request"), default="chunk",
+        help="'request' (r4): accumulate classes in a device-side uint8 "
+        "time ring and fetch each request ONCE at completion — no per-step "
+        "device-to-host fetch (the relay-bound serving cost); output "
+        "bit-identical to chunk delivery",
     )
     p_warm = sub.add_parser(
         "warm",

@@ -55,6 +55,27 @@ class _Lease:
     speaker: Optional[int] = None
     cond_fn: Optional[Callable] = None  # (t_local, n) -> (n, Cc) np array
     t_local: int = 0        # samples generated for THIS request so far
+    start_t: int = 0        # pool-global sample index of the lease start
+
+
+# Request-mode delivery (VERDICT r3 item 6): instead of fetching every
+# chunk's (B, chunk) classes to the host, accumulate them into a DEVICE
+# ring (B, acc_samples) uint8 — one chunk-aligned dynamic_update_slice per
+# step, donated so the update is in place — and fetch ONE lane row when a
+# request completes. The per-step host sync (the relay-bound cost that
+# capped delivered throughput at 569 audio-sec/sec in round 3) disappears
+# from the steady state entirely.
+_acc_write = jax.jit(
+    lambda acc, classes, pos: jax.lax.dynamic_update_slice(
+        acc, classes, (0, pos)
+    ),
+    donate_argnums=0,
+)
+# One compile for any lane index (a concrete acc[lane] would compile per
+# distinct lane — seconds each over this image's relay).
+_acc_row = jax.jit(
+    lambda acc, lane: jax.lax.dynamic_slice_in_dim(acc, lane, 1, 0)
+)
 
 
 class SessionPool:
@@ -86,6 +107,8 @@ class SessionPool:
         pipeline: bool = False,
         per_lane_rng: bool = True,
         mesh=None,
+        deliver: str = "chunk",
+        acc_samples: int = 65536,
     ):
         self.params = params
         self.arch = arch
@@ -159,6 +182,33 @@ class SessionPool:
         # Lane 0..B-1 of a brand-new stream is already a fresh session, so
         # the first lease per lane needs no reset.
         self._fresh = np.ones(batch, dtype=bool)
+        # deliver="request" (VERDICT r3 item 6): accumulate each lane's
+        # classes into a device-side uint8 time ring and fetch a request's
+        # audio ONCE at completion instead of every chunk — step() then
+        # returns {} until a request finishes and delivers its whole
+        # stream in one entry. Output is bit-identical to chunk mode
+        # (tests); only the delivery granularity (and the per-step D2H)
+        # changes. acc_samples bounds request length (see submit).
+        if deliver not in ("chunk", "request"):
+            raise ValueError(f"deliver must be 'chunk'|'request', not {deliver!r}")
+        self.deliver_mode = deliver
+        self._acc = None
+        if deliver == "request":
+            if arch.quant_channels > 256:
+                raise ValueError(
+                    "deliver='request' stores uint8 classes; "
+                    f"quant_channels={arch.quant_channels} > 256"
+                )
+            if acc_samples % chunk_size:
+                raise ValueError(
+                    f"acc_samples {acc_samples} % chunk_size {chunk_size} "
+                    f"!= 0 (ring writes must stay chunk-aligned)"
+                )
+            if acc_samples < 3 * chunk_size:
+                raise ValueError("acc_samples must be >= 3 * chunk_size")
+            self._acc = jnp.zeros(
+                (self._device_batch, acc_samples), jnp.uint8
+            )
 
     # -- request lifecycle ---------------------------------------------
 
@@ -196,10 +246,22 @@ class SessionPool:
             )
         if seed is not None and not self.per_lane_rng:
             raise ValueError("submit(seed=...) needs per_lane_rng=True")
+        if self._acc is not None:
+            cap = int(self._acc.shape[1])
+            # cap - 2*chunk: the span a request occupies in the time ring
+            # (rounded up to whole chunks) plus ONE in-flight pipelined
+            # chunk must never lap its own oldest sample.
+            if n_samples > cap - 2 * self.chunk_size:
+                raise ValueError(
+                    f"deliver='request' pools bound n_samples at "
+                    f"acc_samples - 2*chunk = {cap - 2 * self.chunk_size} "
+                    f"(got {n_samples}); raise acc_samples"
+                )
         for i, lease in enumerate(self._lanes):
             if lease is None:
                 self._lanes[i] = _Lease(
-                    request_id, n_samples, speaker=speaker, cond_fn=cond_fn
+                    request_id, n_samples, speaker=speaker, cond_fn=cond_fn,
+                    start_t=self._t_dispatched,
                 )
                 if self.per_lane_rng:
                     if seed is None:
@@ -313,6 +375,11 @@ class SessionPool:
             )
         if self.arch.quant_channels <= 256:
             classes = _narrow_u8(classes)
+        if self._acc is not None:
+            # Device-side accumulation: ONE chunk-aligned ring write, no
+            # host fetch this step (classes never cross to the host here).
+            pos = self._t_dispatched % int(self._acc.shape[1])
+            self._acc = _acc_write(self._acc, classes, pos)
         self._t_dispatched += self.chunk_size
 
         meta = []
@@ -324,7 +391,13 @@ class SessionPool:
             lease.emitted += n
             lease.t_local += self.chunk_size
             done = lease.remaining == 0
-            meta.append((i, lease.request_id, n, done))
+            if self._acc is None:
+                meta.append((i, lease.request_id, n, done))
+            elif done:
+                # Request mode delivers once, at completion: whole stream.
+                meta.append(
+                    (i, lease.request_id, lease.emitted, True, lease.start_t)
+                )
             if done:
                 self._lanes[i] = None
                 self._pending_reset[i] = True
@@ -335,14 +408,28 @@ class SessionPool:
         self._fresh[:] = False
         return classes, meta
 
-    @staticmethod
-    def _deliver(inflight: tuple) -> Dict[object, tuple]:
+    def _deliver(self, inflight: tuple) -> Dict[object, tuple]:
         """Fetch a dispatched chunk to the host and slice per request.
 
-        The fetch crosses the device boundary as uint8 (4x smaller D2H);
-        the per-request slices are widened back to int32 on the host so
-        the delivered API dtype is unchanged."""
+        Chunk mode: the (B, chunk) fetch crosses the device boundary as
+        uint8 (4x smaller D2H); per-request slices are widened back to
+        int32 on the host so the delivered API dtype is unchanged.
+
+        Request mode: nothing is fetched per step — each COMPLETED
+        request's lane row is fetched once from the device time ring and
+        its span sliced out on the host (wrap-aware). NOTE the ring is
+        read at its CURRENT state, not a snapshot: the submit() length
+        bound guarantees the one pipelined in-flight chunk cannot have
+        lapped a just-completed request's span."""
         classes_dev, meta = inflight
+        if self._acc is not None:
+            out = {}
+            cap = int(self._acc.shape[1])
+            for i, rid, n, _done, start_t in meta:
+                row = np.asarray(_acc_row(self._acc, i))[0]
+                idx = (start_t + np.arange(n)) % cap
+                out[rid] = (row[idx].astype(np.int32), True)
+            return out
         classes = np.asarray(classes_dev)
         return {
             rid: (classes[i, :n].astype(np.int32), done)

@@ -29,12 +29,14 @@ import numpy as np
 
 
 def run_trace(params, arch, batch, chunk, lengths, policy,
-              engine, rng_key, pipeline=False) -> dict:
+              engine, rng_key, pipeline=False, deliver="chunk") -> dict:
     from lb_wavenet_tpu.serving import SessionPool
 
+    acc = -(-(int(max(lengths)) + 2 * chunk) // chunk) * chunk
     pool = SessionPool(params, arch, batch, rng_key, engine=engine,
                        chunk_size=chunk, temperature=1.0,
-                       pipeline=pipeline)
+                       pipeline=pipeline, deliver=deliver,
+                       acc_samples=max(acc, 4 * chunk))
     queue = [(f"r{i}", int(n)) for i, n in enumerate(lengths)]
     next_req = 0
     delivered = 0
@@ -130,6 +132,17 @@ def main() -> int:
         params, arch, batch, chunk, lengths, "continuous",
         engine, jax.random.key(1), pipeline=True,
     )
+    # Device-side per-request accumulation (VERDICT r3 item 6): no per-step
+    # D2H at all — each request's audio is fetched once at completion from
+    # the device time ring. Output bit-identical (tests/test_serving.py).
+    results["continuous_request_mode"] = run_trace(
+        params, arch, batch, chunk, lengths, "continuous",
+        engine, jax.random.key(1), deliver="request",
+    )
+    results["continuous_request_mode_pipelined"] = run_trace(
+        params, arch, batch, chunk, lengths, "continuous",
+        engine, jax.random.key(1), pipeline=True, deliver="request",
+    )
     ratio = results["wave"]["steps"] / results["continuous"]["steps"]
     print(json.dumps({
         "metric": "continuous_batching_step_reduction",
@@ -142,6 +155,14 @@ def main() -> int:
             "lengths": f"U({lo}, {hi}) samples seeded",
             "continuous": results["continuous"],
             "continuous_pipelined": results["continuous_pipelined"],
+            "continuous_request_mode": results["continuous_request_mode"],
+            "continuous_request_mode_pipelined": results[
+                "continuous_request_mode_pipelined"
+            ],
+            "request_mode_delivered_speedup": round(
+                results["continuous_request_mode"]["audio_sec_per_sec"]
+                / max(results["continuous"]["audio_sec_per_sec"], 1e-9), 3,
+            ),
             "pipeline_wall_speedup": round(
                 results["continuous"]["wall_s"]
                 / max(results["continuous_pipelined"]["wall_s"], 1e-9), 3,

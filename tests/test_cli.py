@@ -494,10 +494,12 @@ def test_cli_serve_mesh_model(tmp_path):
         json.dumps({"id": rid, "n_samples": n}) + "\n"
         for rid, n in lengths.items()
     ))
-    # 2 lanes x (data=2, model=4) mesh: lane recycling + skip-split TP.
+    # 2 lanes x (data=2, model=4) mesh: lane recycling + skip-split TP;
+    # --deliver request exercises the device-ring accumulation path (r4)
+    # through the CLI in the same pass.
     r = _run(
         ["serve", *tiny, "--requests", str(reqs), "--stream-chunk", "8",
-         "--mesh-model", "4",
+         "--mesh-model", "4", "--deliver", "request",
          "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=2",
          "--set", f'gen.out_dir="{outdir}"'],
         timeout=400,

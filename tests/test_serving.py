@@ -377,3 +377,68 @@ def test_mesh_pool_recycles_lanes_and_speakers():
     for rid, n, spk in reqs:
         ref = _dedicated(params, arch, n, speaker=spk)
         np.testing.assert_array_equal(done[rid], ref, err_msg=rid)
+
+
+def test_request_mode_delivery_bit_matches_chunk_mode():
+    """r4 (VERDICT r3 item 6): deliver='request' accumulates classes in a
+    device-side uint8 time ring and fetches each request ONCE at
+    completion — the delivered streams must be bit-identical to chunk-mode
+    delivery (same seeds), for both serial and pipelined pools, including
+    requests served on recycled lanes (ring wrap + lane reuse)."""
+    arch = ArchConfig(
+        n_blocks=2, n_layers_per_block=3, residual_channels=16,
+        skip_channels=16, gate_channels=16, compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    lengths = [40, 17, 56, 23, 40, 9]  # > 2 lanes -> recycling; odd tails
+
+    def run(**kw):
+        pool = SessionPool(
+            params, arch, batch=2, rng=jax.random.key(5), engine="mega",
+            chunk_size=CHUNK, temperature=1.0, **kw,
+        )
+        pending = [(f"r{i}", n, 100 + i) for i, n in enumerate(lengths)]
+        got: dict = {}
+        done = {}
+        for _ in range(300):
+            while pending and pool.submit(
+                pending[0][0], pending[0][1], seed=pending[0][2]
+            ):
+                pending.pop(0)
+            for rid, (classes, fin) in pool.step().items():
+                got.setdefault(rid, []).append(classes)
+                if fin:
+                    done[rid] = np.concatenate(got[rid])
+            if len(done) == len(lengths) and not pool.active:
+                break
+        assert len(done) == len(lengths)
+        return done
+
+    ref = run(deliver="chunk")
+    # acc ring much shorter than the trace total -> real wrap-around.
+    for pipeline in (False, True):
+        out = run(deliver="request", acc_samples=CHUNK * 8,
+                  pipeline=pipeline)
+        for rid, want in ref.items():
+            np.testing.assert_array_equal(
+                out[rid], want, err_msg=f"{rid} pipeline={pipeline}"
+            )
+            assert out[rid].dtype == np.int32
+
+
+def test_request_mode_validation():
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=2, residual_channels=8,
+        skip_channels=8, gate_channels=8, compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    with pytest.raises(ValueError, match="acc_samples"):
+        SessionPool(params, arch, 2, jax.random.key(0), engine="turbo",
+                    chunk_size=CHUNK, deliver="request",
+                    acc_samples=CHUNK * 8 + 1)
+    pool = SessionPool(params, arch, 2, jax.random.key(0), engine="turbo",
+                       chunk_size=CHUNK, deliver="request",
+                       acc_samples=CHUNK * 4)
+    with pytest.raises(ValueError, match="bound n_samples"):
+        pool.submit("too-long", CHUNK * 4)  # > cap - 2*chunk
+    assert pool.submit("ok", CHUNK * 2)
