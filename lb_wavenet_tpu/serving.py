@@ -71,11 +71,22 @@ _acc_write = jax.jit(
     ),
     donate_argnums=0,
 )
-# One compile for any lane index (a concrete acc[lane] would compile per
-# distinct lane — seconds each over this image's relay).
-_acc_row = jax.jit(
-    lambda acc, lane: jax.lax.dynamic_slice_in_dim(acc, lane, 1, 0)
+# Flat exact-span gather: ONE fetch per step for ALL completed requests.
+# A per-request row fetch measured 8x SLOWER than chunk delivery on this
+# image (~20 completions/step x one relay round-trip each, BASELINE.md
+# round 4); batching every completed span into one flat index gather pays
+# one round-trip and exactly span bytes (padded to the bucket size).
+# Bucketing the index length to powers of two bounds the compile count.
+_acc_flat_gather = jax.jit(
+    lambda acc, flat_idx: jnp.take(acc.reshape(-1), flat_idx, axis=0)
 )
+
+
+def _pow2_bucket(n: int, lo: int = 4096) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 class SessionPool:
@@ -423,13 +434,29 @@ class SessionPool:
         lapped a just-completed request's span."""
         classes_dev, meta = inflight
         if self._acc is not None:
-            out = {}
+            if not meta:
+                return {}
             cap = int(self._acc.shape[1])
+            spans = []
+            total = 0
             for i, rid, n, _done, start_t in meta:
-                row = np.asarray(_acc_row(self._acc, i))[0]
-                idx = (start_t + np.arange(n)) % cap
-                out[rid] = (row[idx].astype(np.int32), True)
-            return out
+                spans.append((rid, total, n, i, start_t))
+                total += n
+            flat = np.empty(total, np.int64)
+            for _rid, off, n, lane, start_t in spans:
+                flat[off : off + n] = lane * cap + (
+                    (start_t + np.arange(n)) % cap
+                )
+            bucket = _pow2_bucket(total)
+            idx = np.zeros(bucket, np.int32)
+            idx[:total] = flat
+            data = np.asarray(
+                _acc_flat_gather(self._acc, jnp.asarray(idx))
+            )  # ONE device round-trip for every completion this step
+            return {
+                rid: (data[off : off + n].astype(np.int32), True)
+                for rid, off, n, _lane, _t in spans
+            }
         classes = np.asarray(classes_dev)
         return {
             rid: (classes[i, :n].astype(np.int32), done)

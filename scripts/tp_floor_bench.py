@@ -1,16 +1,21 @@
 """Single-chip FLOOR of the model-sharded (skip-split) synthesis paths.
 
 Real multi-chip TP is unmeasurable on this 1-chip image, but the per-chip
-cost of the TP formulation IS measurable: run the shard_map skip-split path
-on a (data=1, model=1) mesh — identical program structure (per-step fused
-kernel + psum (size-1) + XLA post/sample/frontend), no ICI. The psum over a
-1-sized axis lowers to a no-op copy, so the number is the path's per-chip
-step-rate class; the multi-chip run adds only the ~10 us (B, S) psum per
-step from docs/kernels.md's ICI budget.
+cost of the TP formulation IS measurable: build the SAME shard_map
+skip-split program `parallel/synthesis._skip_sharded_generate` builds — the
+skip-sliced param layout, the per-step fused kernel, the psum at the post
+hidden (size-1 axis here: lowers to a copy), the XLA sampling/frontend —
+on a (data=1, model=1) mesh and time it. The multi-chip run adds only the
+~10 us (B, S) psum per step from docs/kernels.md's ICI budget.
+
+The jitted fns are built ONCE per (engine, length) — the first version of
+this script called mesh_generate_classes per rep, whose per-call closure
+rebuild retraces every invocation and drowned the n-vs-2n difference in
+trace noise (the "13872 a-s/s" artifact).
 
 Engines: pallas (r3 path: batch-major ar_step kernel + threefry sampling)
-vs mega/turbo (r4 ar_tp step: feature-major merged contractions + per-lane
-hash in XLA). Emits one JSON line per engine; numbers land in BASELINE.md.
+vs mega (r4 ar_tp step: feature-major merged contractions + per-lane hash
+in XLA). Emits one JSON line per engine; numbers land in BASELINE.md.
 
     python scripts/tp_floor_bench.py   # BENCH_BATCH / BENCH_SAMPLES
 """
@@ -26,6 +31,8 @@ import numpy as np
 
 def main() -> int:
     import jax
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     plat = os.environ.get("WAVENET_PLATFORM")
     if plat:
@@ -36,25 +43,49 @@ def main() -> int:
 
     from bench import _WAVENET30
     from lb_wavenet_tpu.config import ArchConfig
+    from lb_wavenet_tpu.generate import generate_classes
     from lb_wavenet_tpu.models.wavenet import init_params
-    from lb_wavenet_tpu.parallel.mesh import make_mesh
+    from lb_wavenet_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
     from lb_wavenet_tpu.parallel.synthesis import (
-        model_sharded_generate_classes,
+        _place_global,
+        skip_sharded_param_specs,
     )
 
     arch = ArchConfig(**_WAVENET30)
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     n = int(os.environ.get("BENCH_SAMPLES", "2048"))
     mesh = make_mesh(1, 1)
-    params = jax.device_put(init_params(jax.random.key(0), arch))
+    params = init_params(jax.random.key(0), arch)
+    specs = skip_sharded_param_specs(params)
+    placed = jax.tree_util.tree_map(
+        lambda x, sp: _place_global(x, mesh, sp), params, specs
+    )
+    rng = jax.random.key(1)
+    key_impl = str(jax.random.key_impl(rng))
+    key_data = _place_global(jax.random.key_data(rng), mesh, P())
 
     for engine in ("mega", "pallas"):
+        def build(n_s, engine=engine):
+            def per_shard(p, r):
+                r = jax.random.wrap_key_data(r, impl=key_impl)
+                r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+                return generate_classes(
+                    p, arch, r, batch, n_s, engine=engine,
+                    temperature=1.0, model_axis=MODEL_AXIS,
+                )
+
+            return jax.jit(shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(specs, P()),
+                out_specs=P(DATA_AXIS, None),
+                check_vma=False,
+            ), out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)))
+
+        fns = {k: build(k) for k in (n, 2 * n)}
+
         def run(n_s):
-            out = model_sharded_generate_classes(
-                params, arch, jax.random.key(1), batch, n_s, mesh,
-                engine=engine, temperature=1.0,
-            )
-            probe = np.asarray(out[:, -1])        # scalar-ish sync
+            out = fns[n_s](placed, key_data)
+            probe = np.asarray(out[:, -1])
             total = int(np.asarray(out.astype(np.int32).sum()))
             assert probe.shape == (batch,)
             assert 0 <= probe.min() and probe.max() < arch.quant_channels
@@ -84,6 +115,8 @@ def main() -> int:
                 "steps_per_sec": round(n / elapsed, 1),
                 "us_per_step": round(1e6 * elapsed / n, 2),
                 "compile_s": round(compile_s, 1),
+                "t_short_s": round(t_short, 3),
+                "t_long_s": round(t_long, 3),
                 "backend": jax.default_backend(),
             },
         }), flush=True)

@@ -323,3 +323,33 @@ def test_sharded_session_reset_lane_equals_fresh_session():
     fresh = ShardedSession(params, MICRO, B, key, mesh, engine="mega")
     fresh_out = np.asarray(fresh.chunk(T, temperature=0.0))[3]
     np.testing.assert_array_equal(recycled, fresh_out)
+
+
+def test_model_sharded_tp_mega_mel_conditioned():
+    """Mel conditioning rides the TP-mega path: the upsampled cond stream
+    shards over `data` and feeds the TP step's in-XLA fold exactly like
+    the single-device fused path."""
+    import dataclasses
+
+    arch = dataclasses.replace(
+        MICRO, n_mels=4, cond_channels=8, upsample_factors=(2, 2)
+    )
+    params = init_params(jax.random.key(0), arch)
+    key = jax.random.key(15)
+    from lb_wavenet_tpu.models.conditioning import upsample_cond
+
+    frames = jax.random.normal(
+        jax.random.key(16), (B, T // 4 + 2, arch.n_mels)
+    )
+    cond = upsample_cond(
+        params["upsampler"], arch, frames, jnp.dtype(arch.compute_dtype)
+    )
+    ref = np.asarray(generate_classes(
+        params, arch, jax.random.fold_in(key, 0), B, T, cond=cond,
+        temperature=1.0, engine="mega",
+    ))
+    out = model_sharded_generate_classes(
+        params, arch, key, B, T, make_mesh(1, 8), engine="mega",
+        cond=np.asarray(cond), temperature=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
