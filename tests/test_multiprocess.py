@@ -272,3 +272,78 @@ def test_two_process_fleet_generation():
     assert sorted(rows_seen) == list(range(4))
     for lane, row in rows_seen.items():
         np.testing.assert_array_equal(row, ref[lane])
+
+
+WORKER_TP = r"""
+import os, sys, json
+sys.path.insert(0, '@REPO@')
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:@PORT@",
+    num_processes=2,
+    process_id=@PID@,
+)
+import numpy as np
+from lb_wavenet_tpu.config import ArchConfig
+from lb_wavenet_tpu.generate import generate_classes
+from lb_wavenet_tpu.models.wavenet import init_params
+from lb_wavenet_tpu.parallel.mesh import make_mesh
+from lb_wavenet_tpu.parallel.synthesis import (
+    ShardedSession, model_sharded_generate_classes,
+)
+
+arch = ArchConfig(n_blocks=2, n_layers_per_block=3, residual_channels=8,
+                  skip_channels=8, gate_channels=8, compute_dtype="float32")
+assert jax.process_count() == 2
+mesh = make_mesh(1, 2)   # MODEL axis spans the two processes
+params = init_params(jax.random.key(0), arch)   # identical on both hosts
+key = jax.random.key(31)
+B, T = 4, 12
+
+# Single-device reference, computed LOCALLY on each host's one device.
+ref = np.asarray(generate_classes(
+    params, arch, jax.random.fold_in(key, 0), B, T,
+    engine="mega", temperature=1.0,
+))
+out = model_sharded_generate_classes(
+    params, arch, key, B, T, mesh, engine="mega", temperature=1.0,
+)
+np.testing.assert_array_equal(np.asarray(out), ref)
+
+# Model-sharded STREAMING across processes: chunked == one-shot.
+sess = ShardedSession(params, arch, B, key, mesh, engine="mega")
+c1 = np.asarray(sess.chunk(T // 2, temperature=1.0))
+c2 = np.asarray(sess.chunk(T - T // 2, temperature=1.0))
+np.testing.assert_array_equal(np.concatenate([c1, c2], axis=1), ref)
+print("TP_OK", flush=True)
+"""
+
+
+def test_two_process_model_sharded_synthesis(tmp_path):
+    """r4: the skip-split TP tier (one psum/step at the post hidden)
+    crosses PROCESS boundaries — a model sharded over two hosts produces
+    the single-device mega classes, one-shot AND streaming. On real
+    hardware the psum rides ICI/DCN; here it rides the 2-process CPU
+    collective, proving the program structure end to end."""
+    repo = os.path.dirname(os.path.dirname(__file__))
+    port = 23461
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one device per process
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             WORKER_TP.replace('@REPO@', repo).replace('@PORT@', str(port))
+             .replace('@PID@', str(pid))],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        assert "TP_OK" in out
