@@ -15,8 +15,9 @@ if a later, more expensive program dies in compile under relay congestion:
      compiles in seconds (BASELINE.md round-1 row), so this line survives
      almost any relay weather.
   2. "train_throughput"    — the full production recipe at the recorded
-     headline shape (B=256/accum=32, 5.00M samples/sec/chip in round 3);
-     VERDICT r3 item 2: the training headline must be driver-visible.
+     headline shape (B=256/accum=32/W=10240, 5.90M samples/sec/chip in
+     round 4); VERDICT r3 item 2: the training headline must be
+     driver-visible.
   3. "batched_ar_synthesis_throughput" — the mega B=1536 headline, LAST so
      it wins the driver's `parsed` whenever it completes.
 
@@ -338,10 +339,14 @@ def _synthesis_line(
 def _train_line() -> None:
     """Training-throughput line: the production recipe (fused Pallas stack +
     tapcat + fused post/frontend kernel pairs + exact gradient accumulation).
-    Default shape is the RECORDED round-3 headline cell B=256/accum=32
-    (micro-batch 8 — the kernel's optimum; 5.00M samples/sec/chip,
-    BASELINE.md) so the driver tail carries the flagship training number
-    (VERDICT r3 item 2). One JSON line, same schema; constant per-call relay
+    Default shape is the RECORDED round-4 headline cell B=256/accum=32/
+    W=10240 (micro-batch 8 at the long-window VMEM edge — the r4 sweep
+    found throughput rises with W up to the 121M scoped-VMEM envelope:
+    5.90M samples/sec/chip, BASELINE.md round 4) so the driver tail
+    carries the flagship training number (VERDICT r3 item 2). NOTE:
+    BENCH_SP=1 runs must pass an explicit BENCH_WINDOW (<= 4096 at one
+    time shard — the SP formulation's per-shard t_dim envelope is
+    tighter). One JSON line, same schema; constant per-call relay
     overhead cancelled by n-vs-2n difference timing."""
     import jax
     import numpy as np
@@ -358,7 +363,7 @@ def _train_line() -> None:
         )
     arch = ArchConfig(**_WAVENET30)
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    window = int(os.environ.get("BENCH_WINDOW", "6144"))
+    window = int(os.environ.get("BENCH_WINDOW", "10240"))
     accum = int(os.environ.get("BENCH_ACCUM", "32"))
     n_steps = int(os.environ.get("BENCH_STEPS", "4"))
     if n_steps <= 0:
@@ -437,7 +442,7 @@ def _train_line() -> None:
         t_long = min(t_long, dt)
     best = max(t_long - t_short, 1e-9) / n_steps
     value = batch * window / best
-    default_shape = (batch, window, accum) == (256, 6144, 32) and not sp
+    default_shape = (batch, window, accum) == (256, 10240, 32) and not sp
     _emit({
         "metric": "sp_train_throughput" if sp else "train_throughput",
         "value": round(value, 1),

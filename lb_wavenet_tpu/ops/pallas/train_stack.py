@@ -44,6 +44,16 @@ from ...config import ArchConfig
 # t_dim (W + R - 1) and crosses 100 MB around W = 8192 — leave only the
 # margin the pipeline needs.
 _VMEM_LIMIT = 116 * 1024 * 1024
+# Long-window shapes (the r4 sweep: throughput rises monotonically with W
+# up to the VMEM edge — 5.02M @ W=6144 -> 5.80M @ micro4/W=10240) get the
+# remaining physical headroom: micro8 x W=10240 missed the 116M cap by
+# 713K (measured). Granted CONDITIONALLY so every existing shape keeps its
+# compile-cache key and measured behavior.
+_VMEM_LIMIT_XL = 121 * 1024 * 1024
+
+
+def _vmem_limit(t_dim: int) -> int:
+    return _VMEM_LIMIT_XL if t_dim > 12288 else _VMEM_LIMIT
 
 
 def _fwd_kernel(
@@ -656,7 +666,7 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret, tapcat=False,
             jax.ShapeDtypeStruct((bsz, t_dim, s), jnp.float32),
             jax.ShapeDtypeStruct((bsz, t_dim, c), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(t_dim)),
         interpret=interpret,
     )(dils, *args)
     return z_all, skip, x_final
@@ -834,7 +844,7 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
             scratch_shapes=scratch,
         ),
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(t_dim)),
         interpret=interpret,
     )(dils, *args)
     return outs
