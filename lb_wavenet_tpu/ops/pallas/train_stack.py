@@ -52,8 +52,14 @@ _VMEM_LIMIT = 116 * 1024 * 1024
 _VMEM_LIMIT_XL = 121 * 1024 * 1024
 
 
-def _vmem_limit(t_dim: int) -> int:
-    return _VMEM_LIMIT_XL if t_dim > 12288 else _VMEM_LIMIT
+def _vmem_limit(t_dim: int, has_cond: bool = False) -> int:
+    # Thresholds sit just below the measured edges: plain micro8/W=10240
+    # needs 116.70M at t_dim 13310; the SP formulation reaches t_dim 12284
+    # at n=1/W=6144; the mel bwd adds the (T, Cc) cond block + dcond/dwcond
+    # scratch and crosses 116M already at t_dim 9214 (118.62M measured).
+    if t_dim > 11500 or (has_cond and t_dim > 8192):
+        return _VMEM_LIMIT_XL
+    return _VMEM_LIMIT
 
 
 def _fwd_kernel(
@@ -666,7 +672,7 @@ def _fwd_call(lp, arch: ArchConfig, h0, cond, interpret, tapcat=False,
             jax.ShapeDtypeStruct((bsz, t_dim, s), jnp.float32),
             jax.ShapeDtypeStruct((bsz, t_dim, c), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(t_dim)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(t_dim, has_cond)),
         interpret=interpret,
     )(dils, *args)
     return z_all, skip, x_final
@@ -844,7 +850,7 @@ def _bwd_call(lp, arch: ArchConfig, h0, cond, z_all, x_final, g_skip,
             scratch_shapes=scratch,
         ),
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(t_dim)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(t_dim, has_cond)),
         interpret=interpret,
     )(dils, *args)
     return outs
