@@ -113,9 +113,12 @@ def main() -> int:
         if item["op"].startswith("jit_"):
             step_ms = ms
         elif "transpose_jvp" in item["op"]:
-            breakdown["bwd_kernel_ms"] = round(ms, 2)
+            # Keep the FIRST (largest — the plane is sorted desc) match:
+            # smaller later ops can carry the same jvp naming (this
+            # overwrote 8.16 with a 0.57 ms copy at the W=10240 shape).
+            breakdown.setdefault("bwd_kernel_ms", round(ms, 2))
         elif item["op"].startswith("%jvp"):
-            breakdown["fwd_kernel_ms"] = round(ms, 2)
+            breakdown.setdefault("fwd_kernel_ms", round(ms, 2))
     if step_ms is not None:
         breakdown["device_step_ms"] = round(step_ms, 2)
         if "bwd_kernel_ms" in breakdown and "fwd_kernel_ms" in breakdown:
