@@ -343,10 +343,10 @@ def _train_line() -> None:
     W=10240 (micro-batch 8 at the long-window VMEM edge — the r4 sweep
     found throughput rises with W up to the 121M scoped-VMEM envelope:
     5.90M samples/sec/chip, BASELINE.md round 4) so the driver tail
-    carries the flagship training number (VERDICT r3 item 2). NOTE:
-    BENCH_SP=1 runs must pass an explicit BENCH_WINDOW (<= 4096 at one
-    time shard — the SP formulation's per-shard t_dim envelope is
-    tighter). One JSON line, same schema; constant per-call relay
+    carries the flagship training number (VERDICT r3 item 2). BENCH_SP=1
+    defaults to its own safe cell (B=8/accum=4/W=4096 — the SP
+    formulation's per-shard t_dim envelope is tighter than the windowed
+    step's). One JSON line, same schema; constant per-call relay
     overhead cancelled by n-vs-2n difference timing."""
     import jax
     import numpy as np
@@ -362,19 +362,22 @@ def _train_line() -> None:
             "no BENCH_ENGINE"
         )
     arch = ArchConfig(**_WAVENET30)
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    window = int(os.environ.get("BENCH_WINDOW", "10240"))
-    accum = int(os.environ.get("BENCH_ACCUM", "32"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "4"))
-    if n_steps <= 0:
-        raise SystemExit(f"BENCH_STEPS must be positive, got {n_steps}")
     # BENCH_SP=1: the sequence-parallel train step (production recipe —
     # fused kernel with in-kernel halo mask + tapcat + grad_accum, and
     # since r3 the fused post+CE and frontend kernels too) on a
     # single-chip mesh: measures the SP formulation's per-chip cost vs the
     # windowed step (the multi-chip halo ppermute adds only the R-1-sample
-    # neighbor exchange on top).
+    # neighbor exchange on top). SP keeps its own default window: the SP
+    # formulation's per-shard t_dim envelope is tighter (W=6144 at n=1
+    # needs 124.38M scoped VMEM > the 121M cap — BASELINE.md round 4), so
+    # the windowed default W=10240 would OOM it.
     sp = os.environ.get("BENCH_SP", "") == "1"
+    batch = int(os.environ.get("BENCH_BATCH", "8" if sp else "256"))
+    window = int(os.environ.get("BENCH_WINDOW", "4096" if sp else "10240"))
+    accum = int(os.environ.get("BENCH_ACCUM", "4" if sp else "32"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "4"))
+    if n_steps <= 0:
+        raise SystemExit(f"BENCH_STEPS must be positive, got {n_steps}")
     # BENCH_FUSED_POST=0 / BENCH_MM_EMBED=0 / BENCH_FUSED_FRONTEND=0
     # revert the round-3 tail kernels to the XLA paths for A/B.
     fused_post = os.environ.get("BENCH_FUSED_POST", "1") == "1"
