@@ -46,6 +46,25 @@ from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 FUSED_ENGINES = ("pallas", "turbo", "mega")
 
+# One-shot mesh synthesis used to rebuild its jit(shard_map(...)) closure
+# on EVERY call — jax.jit caches by function identity, so each call paid a
+# full retrace (the first tp_floor_bench measurement was drowned by
+# exactly this). Programs are now cached by their static configuration;
+# anything that changes the traced computation (mesh, arch, engine,
+# shapes, temperature, kwargs, params tree structure) is in the key.
+_PROGRAM_CACHE: dict = {}
+
+
+def _cached_program(key, build):
+    try:
+        hash(key)
+    except TypeError:       # unhashable kwarg value: build uncached
+        return build()
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = _PROGRAM_CACHE[key] = build()
+    return fn
+
 
 def _batch_spec(arr) -> P:
     """Full-rank spec sharding the leading (batch) dim over `data`."""
@@ -125,43 +144,55 @@ def mesh_generate_classes(
     opt = _place_batch_args(mesh, cond, speaker_ids, forced)
     out_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
 
+    cache_key = (
+        "fleet", engine, mesh, arch, batch, n_samples, float(temperature),
+        key_impl, tuple(sorted((k, np.ndim(v)) for k, v in opt.items())),
+        tuple(sorted(kwargs.items())),
+        jax.tree_util.tree_structure(params),
+        n_model,
+    )
+
     if engine == "xla":
         # GSPMD: trace the GLOBAL computation once; the compiler partitions
         # the scan by batch (and by channel when the model axis is used).
-        fn = jax.jit(
-            lambda p, r, o: generate_classes(
-                p, arch, jax.random.wrap_key_data(r, impl=key_impl), batch,
-                n_samples, engine=engine, temperature=temperature,
-                **o, **kwargs,
-            ),
-            out_shardings=out_sharding,
-        )
-        return fn(params, key_data, opt)
+        def build_xla():
+            return jax.jit(
+                lambda p, r, o: generate_classes(
+                    p, arch, jax.random.wrap_key_data(r, impl=key_impl),
+                    batch, n_samples, engine=engine,
+                    temperature=temperature, **o, **kwargs,
+                ),
+                out_shardings=out_sharding,
+            )
+
+        return _cached_program(cache_key, build_xla)(params, key_data, opt)
 
     # Fused Pallas engines: one single-chip kernel per data shard.
     shard_b = batch // n_data
     opt_specs = {k: _batch_spec(v) for k, v in opt.items()}
 
-    def per_shard(p, r, o):
-        r = jax.random.wrap_key_data(r, impl=key_impl)
-        r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
-        return generate_classes(
-            p, arch, r, shard_b, n_samples, engine=engine,
-            temperature=temperature, **o, **kwargs,
+    def build_fused():
+        def per_shard(p, r, o):
+            r = jax.random.wrap_key_data(r, impl=key_impl)
+            r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+            return generate_classes(
+                p, arch, r, shard_b, n_samples, engine=engine,
+                temperature=temperature, **o, **kwargs,
+            )
+
+        return jax.jit(
+            shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(), P(), opt_specs),
+                out_specs=P(DATA_AXIS, None),
+                # The Pallas calls don't declare varying-mesh-axis metadata.
+                check_vma=False,
+            ),
+            out_shardings=out_sharding,
         )
 
-    fn = jax.jit(
-        shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(), P(), opt_specs),
-            out_specs=P(DATA_AXIS, None),
-            # The Pallas calls don't declare varying-mesh-axis metadata.
-            check_vma=False,
-        ),
-        out_shardings=out_sharding,
-    )
-    return fn(params, key_data, opt)
+    return _cached_program(cache_key, build_fused)(params, key_data, opt)
 
 
 def skip_sharded_param_specs(params) -> dict:
@@ -238,27 +269,38 @@ def _skip_sharded_generate(
     opt_specs = {k: _batch_spec(v) for k, v in opt.items()}
     out_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
 
-    def per_shard(p, r, o):
-        r = jax.random.wrap_key_data(r, impl=key_impl)
-        # Decorrelate DATA shards only: the model shards of one data shard
-        # must follow the identical sampling chain.
-        r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
-        return generate_classes(
-            p, arch, r, shard_b, n_samples, engine=engine,
-            temperature=temperature, model_axis=MODEL_AXIS, **o, **kwargs,
+    cache_key = (
+        "skip_sharded", engine, mesh, arch, batch, n_samples,
+        float(temperature), key_impl,
+        tuple(sorted((k, np.ndim(v)) for k, v in opt.items())),
+        tuple(sorted(kwargs.items())),
+        jax.tree_util.tree_structure(param_specs),
+    )
+
+    def build():
+        def per_shard(p, r, o):
+            r = jax.random.wrap_key_data(r, impl=key_impl)
+            # Decorrelate DATA shards only: the model shards of one data
+            # shard must follow the identical sampling chain.
+            r = jax.random.fold_in(r, jax.lax.axis_index(DATA_AXIS))
+            return generate_classes(
+                p, arch, r, shard_b, n_samples, engine=engine,
+                temperature=temperature, model_axis=MODEL_AXIS,
+                **o, **kwargs,
+            )
+
+        return jax.jit(
+            shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(param_specs, P(), opt_specs),
+                out_specs=P(DATA_AXIS, None),
+                check_vma=False,  # pallas calls carry no vma metadata
+            ),
+            out_shardings=out_sharding,
         )
 
-    fn = jax.jit(
-        shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(param_specs, P(), opt_specs),
-            out_specs=P(DATA_AXIS, None),
-            check_vma=False,  # pallas calls carry no vma metadata
-        ),
-        out_shardings=out_sharding,
-    )
-    return fn(params, key_data, opt)
+    return _cached_program(cache_key, build)(params, key_data, opt)
 
 
 class ShardedSession:

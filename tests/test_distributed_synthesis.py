@@ -353,3 +353,32 @@ def test_model_sharded_tp_mega_mel_conditioned():
         cond=np.asarray(cond), temperature=1.0,
     )
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_one_shot_mesh_programs_are_cached():
+    """r4: repeated one-shot mesh synthesis calls reuse ONE compiled
+    program per static configuration instead of rebuilding the
+    jit(shard_map) closure (which retraced on every call — the tp_floor
+    measurement artifact)."""
+    from lb_wavenet_tpu.parallel import synthesis as S
+
+    S._PROGRAM_CACHE.clear()
+    params = init_params(jax.random.key(0), MICRO)
+    mesh = make_mesh(2, 4)
+    a = np.asarray(model_sharded_generate_classes(
+        params, MICRO, jax.random.key(40), B, T, mesh, engine="mega",
+        temperature=1.0,
+    ))
+    assert len(S._PROGRAM_CACHE) == 1
+    b = np.asarray(model_sharded_generate_classes(
+        params, MICRO, jax.random.key(40), B, T, mesh, engine="mega",
+        temperature=1.0,
+    ))
+    assert len(S._PROGRAM_CACHE) == 1      # second call reused the program
+    np.testing.assert_array_equal(a, b)
+    # A different static config gets its own entry.
+    model_sharded_generate_classes(
+        params, MICRO, jax.random.key(40), B, T, mesh, engine="pallas",
+        temperature=1.0,
+    )
+    assert len(S._PROGRAM_CACHE) == 2
