@@ -382,3 +382,40 @@ def test_one_shot_mesh_programs_are_cached():
         temperature=1.0,
     )
     assert len(S._PROGRAM_CACHE) == 2
+
+
+def test_sharded_streaming_mel_conditioned():
+    """Mel conditioning through the sharded STREAMING session: per-chunk
+    cond slices ride the data axis; chunked output == the sharded one-shot
+    mel run."""
+    import dataclasses
+
+    from lb_wavenet_tpu.models.conditioning import upsample_cond
+    from lb_wavenet_tpu.parallel.synthesis import ShardedSession
+
+    arch = dataclasses.replace(
+        MICRO, n_mels=4, cond_channels=8, upsample_factors=(2, 2)
+    )
+    params = init_params(jax.random.key(0), arch)
+    key = jax.random.key(41)
+    frames = jax.random.normal(
+        jax.random.key(42), (B, T // 4 + 2, arch.n_mels)
+    )
+    cond = np.asarray(upsample_cond(
+        params["upsampler"], arch, frames, jnp.dtype(arch.compute_dtype)
+    ))
+    mesh = make_mesh(2, 4)
+    one = np.asarray(model_sharded_generate_classes(
+        params, arch, key, B, T, mesh, engine="mega", cond=cond,
+        temperature=1.0,
+    ))
+    sess = ShardedSession(params, arch, B, key, mesh, engine="mega")
+    chunk = T // 3
+    parts = [
+        np.asarray(sess.chunk(
+            chunk, cond=cond[:, i * chunk : (i + 1) * chunk],
+            temperature=1.0,
+        ))
+        for i in range(3)
+    ]
+    np.testing.assert_array_equal(np.concatenate(parts, axis=1), one)
