@@ -51,7 +51,15 @@ def main() -> int:
         skip_sharded_param_specs,
     )
 
-    arch = ArchConfig(**_WAVENET30)
+    if os.environ.get("BENCH_CONFIG", "") == "stress":
+        # The 512-skip stress config is the TP split's MOTIVATING shape
+        # (skip/post width is what outgrows a chip first).
+        arch = ArchConfig(
+            n_blocks=3, n_layers_per_block=10, residual_channels=64,
+            skip_channels=512, gate_channels=64, sample_rate=24000,
+        )
+    else:
+        arch = ArchConfig(**_WAVENET30)
     batch = int(os.environ.get("BENCH_BATCH", "512"))
     n = int(os.environ.get("BENCH_SAMPLES", "2048"))
     mesh = make_mesh(1, 1)
