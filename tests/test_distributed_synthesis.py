@@ -419,3 +419,23 @@ def test_sharded_streaming_mel_conditioned():
         for i in range(3)
     ]
     np.testing.assert_array_equal(np.concatenate(parts, axis=1), one)
+
+
+def test_sharded_streaming_turbo_engine():
+    """turbo ShardedSession rides the same TP stream state as mega:
+    chunked == sharded one-shot (completes the sharded-streaming engine
+    matrix: mega/pallas covered above)."""
+    from lb_wavenet_tpu.parallel.synthesis import ShardedSession
+
+    params = init_params(jax.random.key(0), MICRO)
+    key = jax.random.key(51)
+    mesh = make_mesh(2, 4)
+    one = np.asarray(model_sharded_generate_classes(
+        params, MICRO, key, B, T, mesh, engine="turbo", temperature=1.0,
+    ))
+    sess = ShardedSession(params, MICRO, B, key, mesh, engine="turbo")
+    parts = [
+        np.asarray(sess.chunk(T // 2, temperature=1.0)),
+        np.asarray(sess.chunk(T - T // 2, temperature=1.0)),
+    ]
+    np.testing.assert_array_equal(np.concatenate(parts, axis=1), one)
