@@ -556,7 +556,7 @@ def cmd_eval(args) -> int:
     _maybe_init_distributed(args)
     import jax
 
-    from .data import Corpus
+    from .data import load_corpus
     from .eval import evaluate
     from .train import init_state
     from .utils.checkpoint import restore_params
@@ -568,7 +568,7 @@ def cmd_eval(args) -> int:
     data_dir = args.data_dir or cfg.train.eval_dir or cfg.train.data_dir
     if not data_dir:
         raise SystemExit("eval needs --data-dir or train.eval_dir/data_dir")
-    corpus = Corpus.from_dir(data_dir, cfg.arch, cfg.train.window_size)
+    corpus = load_corpus(data_dir, cfg.arch, cfg.train.window_size)
     batch = cfg.train.eval_batch_size or cfg.train.batch_size
     metrics = evaluate(
         params,
@@ -632,6 +632,40 @@ def cmd_info(args) -> int:
             }
         )
     )
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Pack a wav corpus into the out-of-core mmap format (pack.py).
+
+    Training then points train.data_dir at the pack FILE: windows are
+    assembled straight from the mmap (native uint8 assembler), so host RSS
+    stays O(batch) for 100h+ corpora. --with-waves stores the float
+    waveform section mel-conditioned configs need (4x larger pack)."""
+    cfg = _load_config(args)
+    from .pack import pack_corpus
+
+    with_waves = args.with_waves or cfg.arch.use_local_cond
+    header = pack_corpus(
+        args.data_dir or cfg.train.data_dir,
+        args.out,
+        quant_channels=cfg.arch.quant_channels,
+        sample_rate=cfg.arch.sample_rate,
+        with_waves=with_waves,
+        n_speakers=cfg.arch.n_speakers,
+    )
+    print(json.dumps({
+        "pack": args.out,
+        "n_files": header["n_files"],
+        "n_samples": header["n_samples"],
+        "hours": round(
+            header["n_samples"] / cfg.arch.sample_rate / 3600.0, 3
+        ),
+        "enc_dtype": header["enc_dtype"],
+        "with_waves": header["with_waves"],
+        "bytes": os.path.getsize(args.out),
+        "speakers": len(header.get("speaker_names") or []) or None,
+    }))
     return 0
 
 
@@ -1159,6 +1193,19 @@ def main(argv=None) -> int:
     p_export.add_argument(
         "--chunk", type=int, default=4096, help="samples per step call"
     )
+    p_pack = sub.add_parser(
+        "pack", help="pack a wav corpus into the out-of-core mmap format"
+    )
+    _add_common(p_pack)
+    p_pack.add_argument(
+        "--data-dir", default="",
+        help="wav dir to pack (default: train.data_dir)",
+    )
+    p_pack.add_argument("--out", required=True, help="output pack file")
+    p_pack.add_argument(
+        "--with-waves", action="store_true",
+        help="store float waveforms too (forced on for mel configs)",
+    )
     args = parser.parse_args(argv)
     return {
         "train": cmd_train,
@@ -1168,6 +1215,7 @@ def main(argv=None) -> int:
         "export": cmd_export,
         "serve": cmd_serve,
         "warm": cmd_warm,
+        "pack": cmd_pack,
     }[args.cmd](args)
 
 

@@ -85,6 +85,94 @@ class Batch:
     speaker: Optional[np.ndarray] = None   # int32 (B,)
 
 
+def discover_layout(data_dir: str, n_speakers: int = 0):
+    """Wav layout discovery shared by Corpus.from_dir and pack.pack_corpus.
+
+    Two layouts: flat (`data_dir/*.wav`, unlabeled) or per-speaker
+    (`data_dir/<speaker>/*.wav`, sorted subdirectory names -> ids 0..S-1).
+    Returns (paths, speakers | None, speaker_names | None). With
+    n_speakers == 0 a per-speaker layout drops its labels with a warning
+    (training proceeds unconditioned)."""
+    import warnings
+
+    def wavs_in(d: str) -> list:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.lower().endswith(".wav")
+        )
+
+    flat = wavs_in(data_dir)
+    by_speaker = [
+        (name, wavs)
+        for name in sorted(os.listdir(data_dir))
+        if os.path.isdir(os.path.join(data_dir, name))
+        and (wavs := wavs_in(os.path.join(data_dir, name)))
+    ]
+    speakers: Optional[list] = None
+    speaker_names: Optional[list] = None
+    if by_speaker and flat:
+        raise ValueError(
+            f"{data_dir}: ambiguous layout — wav files both at the top "
+            "level and inside speaker subdirectories"
+        )
+    if by_speaker:
+        paths = [p for _, wavs in by_speaker for p in wavs]
+        if n_speakers > 0:
+            if len(by_speaker) > n_speakers:
+                raise ValueError(
+                    f"{data_dir}: {len(by_speaker)} speaker directories "
+                    f"but arch.n_speakers={n_speakers}"
+                )
+            speakers = [
+                si for si, (_, wavs) in enumerate(by_speaker)
+                for _ in wavs
+            ]
+            speaker_names = [name for name, _ in by_speaker]
+        else:
+            warnings.warn(
+                f"{data_dir} has speaker subdirectories but "
+                "arch.n_speakers == 0; training unconditioned"
+            )
+    else:
+        paths = flat
+    if not paths:
+        raise FileNotFoundError(f"No .wav files under {data_dir}")
+    return paths, speakers, speaker_names
+
+
+class WindowIndex:
+    """Lazy flat index of (file, window) pairs: O(F) memory.
+
+    Semantically identical to the materialized list
+    [(fi, wi) for fi in files for wi in windows(fi)] — same length, same
+    order, same r -> (fi, wi) mapping — but computed from per-file window-
+    count prefix sums, so a 100h pack-backed corpus (~1.4M windows) costs
+    kilobytes instead of hundreds of MB of tuples."""
+
+    def __init__(self, counts):
+        self.prefix = np.concatenate(
+            [[0], np.cumsum(np.asarray(counts, dtype=np.int64))]
+        )
+        self.n = int(self.prefix[-1])
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, r: int):
+        if r < 0:
+            r += self.n
+        if not 0 <= r < self.n:
+            raise IndexError(r)
+        fi = int(np.searchsorted(self.prefix, r, side="right")) - 1
+        return fi, int(r - self.prefix[fi])
+
+    def __iter__(self):
+        for fi in range(len(self.prefix) - 1):
+            for wi in range(int(self.prefix[fi + 1] - self.prefix[fi])):
+                yield (fi, wi)
+
+
 class Corpus:
     """In-memory mu-law-encoded corpus with window index."""
 
@@ -136,12 +224,14 @@ class Corpus:
         self._packed: Optional[tuple] = None  # lazy (enc_concat, offsets)
         self.speakers = list(speakers) if speakers is not None else None
         self.speaker_names: Optional[list] = None  # set by from_dir
-        # Flat index of (file, window) pairs.
-        self.index: list[tuple[int, int]] = []
-        for fi, enc in enumerate(self.encoded):
-            for wi in range(geometry.num_windows(len(enc), window_size)):
-                self.index.append((fi, wi))
-        if not self.index:
+        # Flat lazy index of (file, window) pairs.
+        self.index = WindowIndex(
+            [
+                geometry.num_windows(len(enc), window_size)
+                for enc in self.encoded
+            ]
+        )
+        if not len(self.index):
             raise ValueError("Corpus yields no training windows")
 
     @classmethod
@@ -163,51 +253,9 @@ class Corpus:
         available — multithreaded across files, LUT encode (bit-identical to
         the jnp path) — falling back per-file to scipy + jnp otherwise.
         """
-        import warnings
-
-        def wavs_in(d: str) -> list:
-            return sorted(
-                os.path.join(d, f)
-                for f in os.listdir(d)
-                if f.lower().endswith(".wav")
-            )
-
-        flat = wavs_in(data_dir)
-        by_speaker = [
-            (name, wavs)
-            for name in sorted(os.listdir(data_dir))
-            if os.path.isdir(os.path.join(data_dir, name))
-            and (wavs := wavs_in(os.path.join(data_dir, name)))
-        ]
-        speakers: Optional[list] = None
-        speaker_names: Optional[list] = None
-        if by_speaker and flat:
-            raise ValueError(
-                f"{data_dir}: ambiguous layout — wav files both at the top "
-                "level and inside speaker subdirectories"
-            )
-        if by_speaker:
-            paths = [p for _, wavs in by_speaker for p in wavs]
-            if arch.use_global_cond:
-                if len(by_speaker) > arch.n_speakers:
-                    raise ValueError(
-                        f"{data_dir}: {len(by_speaker)} speaker directories "
-                        f"but arch.n_speakers={arch.n_speakers}"
-                    )
-                speakers = [
-                    si for si, (_, wavs) in enumerate(by_speaker)
-                    for _ in wavs
-                ]
-                speaker_names = [name for name, _ in by_speaker]
-            else:
-                warnings.warn(
-                    f"{data_dir} has speaker subdirectories but "
-                    "arch.n_speakers == 0; training unconditioned"
-                )
-        else:
-            paths = flat
-        if not paths:
-            raise FileNotFoundError(f"No .wav files under {data_dir}")
+        paths, speakers, speaker_names = discover_layout(
+            data_dir, n_speakers=arch.n_speakers
+        )
 
         from . import native
 
@@ -253,6 +301,96 @@ class Corpus:
         corpus.speaker_names = speaker_names
         return corpus
 
+    @classmethod
+    def from_pack(
+        cls, path: str, arch: ArchConfig, window_size: int
+    ) -> "Corpus":
+        """Open an out-of-core packed corpus (pack.pack_corpus / `wavenet
+        pack`): classes (and optionally float waves) stay ON DISK behind
+        `np.memmap` views — window assembly touches only the pages a batch
+        needs, so host RSS is O(batch) regardless of corpus size. Batches
+        are bit-identical to the in-RAM Corpus over the same wavs
+        (tests/test_pack.py). Multi-host loaders (incl. the unsharded SP
+        loader) map the same file instead of each materializing the corpus.
+        """
+        import warnings
+
+        from .pack import open_pack
+
+        pk = open_pack(path)
+        h = pk.header
+        if h["quant_channels"] != arch.quant_channels:
+            raise ValueError(
+                f"{path}: pack quant_channels {h['quant_channels']} != "
+                f"arch.quant_channels {arch.quant_channels}"
+            )
+        if h["sample_rate"] != arch.sample_rate:
+            raise ValueError(
+                f"{path}: pack sample_rate {h['sample_rate']} != "
+                f"arch.sample_rate {arch.sample_rate}"
+            )
+        if arch.use_local_cond and pk.waves is None:
+            raise ValueError(
+                f"{path}: mel-conditioned arch needs the float waveform "
+                f"section — re-pack with `wavenet pack --with-waves`"
+            )
+        self = cls.__new__(cls)
+        self.arch = arch
+        self.window_size = window_size
+        self.r_field = arch.receptive_field
+        off = pk.offsets
+        n_files = h["n_files"]
+        self.encoded = [pk.enc[off[i] : off[i + 1]] for i in range(n_files)]
+        self.waves = (
+            [pk.waves[off[i] : off[i + 1]] for i in range(n_files)]
+            if pk.waves is not None
+            else None  # non-mel packs drop the 4-byte/sample float tier
+        )
+        # The mmap IS the packed corpus: the native assembler reads it
+        # directly (uint8 classes widened to int32 in C++).
+        self._packed = (pk.enc, off)
+        # Hot path: the pread-based native assembler reads window spans
+        # straight from the pack FILE — unlike the mmap, whose kernel
+        # fault-around inflates process RSS toward the file size, pread
+        # keeps residency O(batch) (loader.cpp assemble_fd_impl).
+        self._pack_fd = os.open(path, os.O_RDONLY)
+        self._pack_enc_pos = pk.enc_pos
+        self._pack_itemsize = np.dtype(h["enc_dtype"]).itemsize
+        speakers = h.get("speakers")
+        self.speaker_names = None
+        if speakers is not None and arch.use_global_cond:
+            if max(speakers) >= arch.n_speakers:
+                raise ValueError(
+                    f"{path}: pack has speaker ids up to {max(speakers)} "
+                    f"but arch.n_speakers={arch.n_speakers}"
+                )
+            self.speakers = list(speakers)
+            self.speaker_names = h.get("speaker_names")
+        else:
+            if speakers is not None:
+                warnings.warn(
+                    f"{path} carries speaker labels but arch.n_speakers "
+                    "== 0; training unconditioned"
+                )
+            self.speakers = None
+        self.index = WindowIndex(
+            [
+                geometry.num_windows(int(off[i + 1] - off[i]), window_size)
+                for i in range(n_files)
+            ]
+        )
+        if not len(self.index):
+            raise ValueError("Corpus yields no training windows")
+        return self
+
+    def __del__(self):
+        fd = getattr(self, "_pack_fd", None)
+        try:
+            if fd is not None:
+                os.close(fd)
+        except Exception:  # interpreter shutdown may have torn down os
+            pass
+
     def example(self, fi: int, wi: int):
         inputs, targets, mask = geometry.extract_window(
             self.encoded[fi], self.window_size, self.r_field, wi
@@ -277,10 +415,20 @@ class Corpus:
 
         Uses the native C++ assembler (multithreaded, GIL-free) when
         available; bit-exact vs the per-row Python path (tests/test_native).
+        Pack-backed corpora read window spans with pread(2) — O(batch)
+        process residency regardless of corpus size.
         """
         from . import native
 
         if native.is_available():
+            fd = getattr(self, "_pack_fd", None)
+            if fd is not None:
+                out = native.assemble_windows_fd(
+                    fd, self._pack_enc_pos, self._pack_itemsize,
+                    self._packed[1], pairs, self.window_size, self.r_field,
+                )
+                if out is not None:
+                    return out
             enc, offsets = self._packed_corpus()
             out = native.assemble_windows(
                 enc, offsets, pairs, self.window_size, self.r_field
@@ -297,6 +445,11 @@ class Corpus:
     def _window_segment(self, fi: int, wi: int) -> np.ndarray:
         """Float waveform over the window's model-input span (zero padded
         where the span reaches outside the file)."""
+        if self.waves is None:
+            raise ValueError(
+                "this corpus carries no float waveforms (classes-only "
+                "pack); mel extraction needs `wavenet pack --with-waves`"
+            )
         t0, _ = geometry.window_bounds(
             len(self.encoded[fi]), self.window_size, wi
         )
@@ -374,6 +527,14 @@ class LaneSchedule:
         return int(self.file_order[j]), int(pos - self.prefix[j])
 
 
+def load_corpus(path: str, arch: ArchConfig, window_size: int) -> Corpus:
+    """Corpus from a path: a directory of wavs (in-RAM ingest) or a packed
+    corpus FILE (out-of-core mmap; pack.pack_corpus / `wavenet pack`)."""
+    if os.path.isfile(path):
+        return Corpus.from_pack(path, arch, window_size)
+    return Corpus.from_dir(path, arch, window_size)
+
+
 def make_batches(
     corpus: Corpus,
     train: TrainConfig,
@@ -405,19 +566,37 @@ def make_batches(
     )
 
     step = start_step
+    perms: dict[int, np.ndarray] = {}  # epoch -> permutation (<= 2 live)
+
+    def perm_for(epoch: int) -> np.ndarray:
+        p = perms.get(epoch)
+        if p is None:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([train.seed, epoch])
+            )
+            p = perms[epoch] = rng.permutation(n)
+            for e in [e for e in perms if e < epoch - 1]:
+                del perms[e]  # keep at most the seam's two epochs
+        return p
+
     while True:
         if lanes is not None:
             pairs = [
                 lanes.pair(k, step) for k in range(train.batch_size)
             ][host_id::host_count]
         else:
-            epoch = (step * train.batch_size) // n
-            rng = np.random.default_rng(
-                np.random.SeedSequence([train.seed, epoch])
-            )
-            perm = rng.permutation(n)
-            offset = (step * train.batch_size) % n
-            picks = [perm[(offset + k) % n] for k in range(train.batch_size)]
+            # Per-ROW epoch: global position g = step*B + k draws
+            # perm_{g//n}[g % n]. A batch spanning an epoch boundary takes
+            # its tail rows from the NEXT epoch's permutation head instead
+            # of wrapping into the current epoch (which repeated
+            # already-consumed windows and skipped the next permutation's
+            # head) — every window appears exactly once per epoch even when
+            # n % batch_size != 0. Non-seam batches are unchanged.
+            base = step * train.batch_size
+            picks = [
+                perm_for((base + k) // n)[(base + k) % n]
+                for k in range(train.batch_size)
+            ]
             pairs = [corpus.index[r] for r in picks[host_id::host_count]]
         assert len(pairs) == per_host
         inputs, targets, mask = corpus.examples_batch(pairs)

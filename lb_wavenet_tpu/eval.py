@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ArchConfig, TrainConfig
-from .data import Batch, Corpus
+from .data import Batch, Corpus, load_corpus
 from .models.wavenet import forward
 from .parallel.mesh import make_mesh, shard_batch, shard_params
 
@@ -179,7 +179,7 @@ def evaluate_from_config(
     if eval_corpus is None:
         if not train.eval_dir:
             return None
-        eval_corpus = Corpus.from_dir(train.eval_dir, arch, train.window_size)
+        eval_corpus = load_corpus(train.eval_dir, arch, train.window_size)
     batch = train.eval_batch_size or train.batch_size
     return evaluate(
         params,

@@ -52,7 +52,22 @@ FUSED_ENGINES = ("pallas", "turbo", "mega")
 # exactly this). Programs are now cached by their static configuration;
 # anything that changes the traced computation (mesh, arch, engine,
 # shapes, temperature, kwargs, params tree structure) is in the key.
+# LRU-bounded (ADVICE r4): each entry pins a compiled executable plus its
+# captured mesh for process lifetime, a slow leak in long-running serving
+# processes sweeping configs. Insertion order IS recency order (entries
+# are re-inserted on hit), so eviction pops the front.
 _PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_CAP = 32
+
+
+def _lru_get(cache: dict, key, build, cap: int):
+    fn = cache.pop(key, None)
+    if fn is None:
+        fn = build()
+    cache[key] = fn  # (re)insert at the back = most recent
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))
+    return fn
 
 
 def _cached_program(key, build):
@@ -60,10 +75,7 @@ def _cached_program(key, build):
         hash(key)
     except TypeError:       # unhashable kwarg value: build uncached
         return build()
-    fn = _PROGRAM_CACHE.get(key)
-    if fn is None:
-        fn = _PROGRAM_CACHE[key] = build()
-    return fn
+    return _lru_get(_PROGRAM_CACHE, key, build, _PROGRAM_CACHE_CAP)
 
 
 def _batch_spec(arr) -> P:
@@ -437,7 +449,8 @@ class ShardedSession:
             if val is not None:
                 opt[name] = _place_global(val, self.mesh, _batch_spec(val))
         key = (chunk_size, float(temperature), tuple(sorted(opt)))
-        if key not in self._chunk_fns:
+
+        def build():
             specs = {k: _batch_spec(v) for k, v in opt.items()}
 
             def per_shard_chunk(p, state, t, o):
@@ -449,7 +462,7 @@ class ShardedSession:
                 )
                 return cls, new_stream.state, new_stream.t
 
-            self._chunk_fns[key] = jax.jit(shard_map(
+            return jax.jit(shard_map(
                 per_shard_chunk, mesh=self.mesh,
                 in_specs=(
                     self.param_specs, self._state_specs_cached, P(), specs
@@ -459,7 +472,11 @@ class ShardedSession:
                 ),
                 check_vma=False,
             ))
-        cls, self._state, self._t = self._chunk_fns[key](
+
+        # LRU-bounded like _PROGRAM_CACHE (ADVICE r4): a long-lived session
+        # sweeping chunk sizes/temperatures must not pin executables forever.
+        fn = _lru_get(self._chunk_fns, key, build, cap=16)
+        cls, self._state, self._t = fn(
             self.params, self._state, self._t, opt
         )
         return cls

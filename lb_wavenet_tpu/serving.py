@@ -217,6 +217,16 @@ class SessionPool:
                 )
             if acc_samples < 3 * chunk_size:
                 raise ValueError("acc_samples must be >= 3 * chunk_size")
+            if self._device_batch * acc_samples >= 2**31:
+                # The completion gather builds flat int32 indices
+                # lane*cap + pos; past 2^31 the cast overflows and jnp.take
+                # CLAMPS under jit — silently wrong audio (ADVICE r4).
+                raise ValueError(
+                    f"deliver='request' ring too large: device_batch "
+                    f"({self._device_batch}) * acc_samples ({acc_samples}) "
+                    f"= {self._device_batch * acc_samples} >= 2^31 would "
+                    f"overflow the int32 delivery gather; lower acc_samples"
+                )
             self._acc = jnp.zeros(
                 (self._device_batch, acc_samples), jnp.uint8
             )

@@ -739,3 +739,52 @@ def test_cli_serve_mel_conditioned_with_seed_replay(tmp_path):
               "--set", f'gen.checkpoint_dir="{ckpt}"',
               "--set", f'gen.out_dir="{outdir}"'], timeout=300)
     assert r.returncode != 0 and "mel" in r.stderr
+
+
+def test_cli_pack_then_train_from_pack(tmp_path):
+    """`wavenet pack` writes the out-of-core corpus; `wavenet train` points
+    train.data_dir at the pack FILE and trains from the mmap/pread tier."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    for i in range(2):
+        write_wav(
+            str(data / f"{i}.wav"),
+            0.4 * np.sin(2 * np.pi * (120 + 60 * i) * t), 16000,
+        )
+    pack = tmp_path / "corpus.pack"
+    arch_sets = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=3",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8",
+        "--set", 'arch.compute_dtype="float32"',
+    ]
+    r = _run(
+        ["pack", *arch_sets, "--data-dir", str(data), "--out", str(pack)],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["n_files"] == 2 and rec["enc_dtype"] == "uint8"
+    assert rec["n_samples"] == 12000
+
+    ckpt = tmp_path / "ck"
+    r = _run(
+        [
+            "train", *arch_sets,
+            "--set", f'train.data_dir="{pack}"', "--set", "train.n_steps=2",
+            "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+            "--set", "train.window_size=64", "--set", "train.log_every=1",
+            "--set", "train.checkpoint_every=2",
+            "--set", f'train.checkpoint_dir="{ckpt}"',
+        ],
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines() if x.startswith("{")]
+    assert any("loss" in rec for rec in lines)

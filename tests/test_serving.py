@@ -442,3 +442,9 @@ def test_request_mode_validation():
     with pytest.raises(ValueError, match="bound n_samples"):
         pool.submit("too-long", CHUNK * 4)  # > cap - 2*chunk
     assert pool.submit("ok", CHUNK * 2)
+    # device_batch * acc_samples >= 2^31 would overflow the int32 delivery
+    # gather (jnp.take clamps under jit -> silently wrong audio; ADVICE r4).
+    with pytest.raises(ValueError, match="2\\^31"):
+        SessionPool(params, arch, 2, jax.random.key(0), engine="turbo",
+                    chunk_size=CHUNK, deliver="request",
+                    acc_samples=2**30)
