@@ -102,10 +102,10 @@ def test_grad_accum_composes_with_dp():
     )
 
 
-def test_fused_stack_with_model_axis_refused():
-    """GSPMD cannot partition the single-chip fused Pallas kernels: the
-    mesh_model>1 + fused_* combination must refuse loudly instead of
-    silently running an unsupported program (VERDICT r4 weak #2)."""
+def test_fused_model_axis_with_seq_parallel_refused():
+    """mesh_model>1 + fused kernels routes to the shard_map TP train step
+    (test_tp_train.py); the one unsupported combination — adding
+    seq_parallel on top — must refuse loudly (VERDICT r4 weak #2)."""
     from lb_wavenet_tpu.config import ArchConfig, Config
     from lb_wavenet_tpu.train import run_training
 
@@ -114,9 +114,9 @@ def test_fused_stack_with_model_axis_refused():
             n_blocks=1, n_layers_per_block=2, residual_channels=8,
             skip_channels=8, gate_channels=8, compute_dtype="float32",
         ),
-        train=TrainConfig(mesh_model=2, fused_stack=True),
+        train=TrainConfig(mesh_model=2, fused_stack=True, seq_parallel=True),
     )
-    with pytest.raises(ValueError, match="GSPMD"):
+    with pytest.raises(ValueError, match="seq_parallel"):
         run_training(cfg)
 
 
