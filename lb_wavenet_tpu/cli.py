@@ -679,6 +679,30 @@ def cmd_export(args) -> int:
 
     params = init_params(jax.random.key(0), cfg.arch)
     batch = args.batch or cfg.gen.batch_size
+    if args.mesh_model > 1:
+        from .parallel.mesh import make_mesh
+        from .utils.export import export_sharded_serving
+
+        n_dev = len(jax.devices())
+        if n_dev % args.mesh_model:
+            raise SystemExit(
+                f"--mesh-model {args.mesh_model} must divide {n_dev} devices"
+            )
+        mesh_data = n_dev // args.mesh_model
+        manifest = export_sharded_serving(
+            params, cfg.arch, batch=batch, chunk_size=args.chunk,
+            out_dir=args.out, engine=args.engine,
+            temperature=cfg.gen.temperature,
+            mesh_data=mesh_data, mesh_model=args.mesh_model,
+            with_cond=cfg.arch.use_local_cond,
+        )
+        print(json.dumps({"exported": args.out, **{
+            k: manifest[k] for k in (
+                "engine", "batch", "chunk_size", "with_cond", "mesh_data",
+                "mesh_model",
+            )
+        }}))
+        return 0
     if args.engine == "mega" and batch % 128 != 0:
         raise SystemExit(
             f"--engine mega needs batch % 128 == 0 (got {batch}); pass "
@@ -752,8 +776,15 @@ def cmd_serve(args) -> int:
                 r = json.loads(line)
                 rid, n = str(r["id"]), int(r["n_samples"])
                 seed = int(r["seed"]) if "seed" in r else None
+                temp = (
+                    float(r["temperature"]) if "temperature" in r else None
+                )
             except (json.JSONDecodeError, KeyError, ValueError) as e:
                 raise SystemExit(f"{args.requests}:{ln}: {e}")
+            if temp is not None and temp < 0:
+                raise SystemExit(
+                    f"{args.requests}:{ln}: temperature must be >= 0"
+                )
             if rid in seen:
                 raise SystemExit(f"{args.requests}:{ln}: duplicate id {rid!r}")
             seen.add(rid)
@@ -785,7 +816,15 @@ def cmd_serve(args) -> int:
                     f"{args.requests}:{ln}: per-request seeds need the "
                     "per-lane sampling default (gen.global_rng=false)"
                 )
-            requests.append((rid, n, r.get("speaker"), mel, seed))
+            if temp is not None and (
+                cfg.gen.global_rng or cfg.gen.temperature <= 0
+            ):
+                raise SystemExit(
+                    f"{args.requests}:{ln}: per-request temperature needs "
+                    "the per-lane sampling default (gen.global_rng=false) "
+                    "and a sampled pool (gen.temperature > 0)"
+                )
+            requests.append((rid, n, r.get("speaker"), mel, seed, temp))
     if not requests:
         raise SystemExit(f"{args.requests}: no requests")
 
@@ -875,7 +914,7 @@ def cmd_serve(args) -> int:
     def fill():
         nonlocal next_req
         while next_req < len(requests):
-            rid, n, spk, mel, seed = requests[next_req]
+            rid, n, spk, mel, seed, temp = requests[next_req]
             if seed is None and pool.per_lane_rng:
                 # Deterministic per-request seed, LOGGED on completion so
                 # any served request can be bit-replayed on a dedicated
@@ -889,6 +928,7 @@ def cmd_serve(args) -> int:
             if not pool.submit(
                 rid, n, speaker=spk, cond_fn=cond_fn,
                 seed=seed if pool.per_lane_rng else None,
+                temperature=temp,
             ):
                 break
             parts[rid] = []
@@ -1134,7 +1174,8 @@ def main(argv=None) -> int:
     p_serve.add_argument(
         "--requests", required=True,
         help='JSONL of {"id": ..., "n_samples": N[, "speaker": S]'
-        '[, "mel": "frames.npy"][, "seed": N]} requests; "mel" is required '
+        '[, "mel": "frames.npy"][, "seed": N][, "temperature": T]} '
+        'requests; "mel" is required '
         "per request on mel-conditioned archs ((F, n_mels) frames, F * "
         'hop_size >= n_samples); "seed" pins the per-lane sampling seed '
         "(defaults to a deterministic derivation, logged on completion "
@@ -1185,7 +1226,13 @@ def main(argv=None) -> int:
     _add_common(p_export)
     p_export.add_argument("--out", required=True, help="artifact directory")
     p_export.add_argument(
-        "--engine", default="mega", choices=["xla", "pallas", "mega"]
+        "--engine", default="mega",
+        choices=["xla", "pallas", "turbo", "mega"],
+    )
+    p_export.add_argument(
+        "--mesh-model", type=int, default=1,
+        help="export a MODEL-SHARDED session artifact over a "
+        "(devices/mesh_model, mesh_model) mesh (turbo/mega engines)",
     )
     p_export.add_argument(
         "--batch", type=int, default=0, help="session batch (default gen.batch_size)"

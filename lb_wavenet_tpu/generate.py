@@ -223,12 +223,23 @@ def perlane_gumbel(lane_seed, t_local, q: int):
     return -jnp.log(-jnp.log(u))
 
 
-def _sample_class_perlane(logits, temperature: float, lane_seed, t_local):
+def _sample_class_perlane(logits, temperature: float, lane_seed, t_local,
+                          lane_inv_temp=None):
+    """Per-lane-hash sampling; `lane_inv_temp` (B,) f32 switches to
+    PER-LANE temperature: each lane scores logits * inv + gumbel with its
+    own inverse temperature, and inv == 0 means greedy (argmax of raw
+    logits — the gumbel term is dropped, matching a dedicated greedy
+    session bit-exactly). Serving contract: inv must be the HOST-computed
+    float32(1.0 / tau) so a pooled request at tau bit-matches a dedicated
+    session whose kernel folds the same double-precision 1/tau constant."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scores = logits * (1.0 / temperature) + perlane_gumbel(
-        lane_seed, t_local, logits.shape[-1]
-    )
+    gum = perlane_gumbel(lane_seed, t_local, logits.shape[-1])
+    if lane_inv_temp is not None:
+        inv = lane_inv_temp.astype(jnp.float32)[:, None]
+        scores = jnp.where(inv > 0.0, logits * inv + gum, logits)
+    else:
+        scores = logits * (1.0 / temperature) + gum
     return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
 
@@ -251,6 +262,22 @@ def derive_lane_seeds(seed_base: jnp.ndarray, batch: int) -> jnp.ndarray:
         seed_base.astype(jnp.uint32) + b * jnp.uint32(0xB5297A4D)
     )
     return (mixed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+
+def _pack_lane(lane_seed, lane_t0, lane_inv_temp=None):
+    """(2|3, B) int32 lane block for the fused kernels: [seeds; lease
+    times; optional inverse-temperature BITS]. The third row carries the
+    per-lane f32(1/tau) bitcast to int32 (the lane block is an int32 VMEM
+    input); the kernels bitcast it back, and inv == 0 means a greedy
+    lane."""
+    if lane_seed is None:
+        return None
+    rows = [lane_seed.astype(jnp.int32), lane_t0.astype(jnp.int32)]
+    if lane_inv_temp is not None:
+        rows.append(jax.lax.bitcast_convert_type(
+            lane_inv_temp.astype(jnp.float32), jnp.int32
+        ))
+    return jnp.stack(rows)
 
 
 def generate_classes(
@@ -417,6 +444,7 @@ def _run_scan_engine(
     lane_seed=None,
     lane_t0=None,
     model_axis: Optional[str] = None,
+    lane_inv_temp=None,
 ):
     """Scan n_samples steps from `state` at absolute time offset t0.
 
@@ -426,7 +454,8 @@ def _run_scan_engine(
 
     lane_seed/lane_t0 (B,) int32 switch sampling to the per-lane counter
     hash (serving reproducibility — see perlane_gumbel); the carried rng
-    chain is then untouched.
+    chain is then untouched. lane_inv_temp (B,) f32 additionally gives each
+    lane its own inverse temperature (0 = greedy lane).
     """
     step_fn = _resolve_step_fn(engine, model_axis=model_axis)
     cond_ts = None
@@ -450,7 +479,8 @@ def _run_scan_engine(
         )
         if per_lane:
             cls = _sample_class_perlane(
-                logits, temperature, lane_seed, t - lane_t0
+                logits, temperature, lane_seed, t - lane_t0,
+                lane_inv_temp=lane_inv_temp,
             )
         else:
             cls = _sample_class(key, logits, temperature)
@@ -703,7 +733,7 @@ def _perlane_gumbel_fm(lane, t_abs, q: int):
 
 def _tp_scan(params, fm, arch: ArchConfig, carry0, t0, cond_ts, forced_ts,
              temperature: float, has_cond: bool, interpret: bool,
-             model_axis: str, lane=None):
+             model_axis: str, lane=None, lane_inv_temp=None):
     """Scan of the TP fused step: kernel through the LOCAL skip accumulator,
     then ONE psum completes the post hidden; sampling (per-lane hash or
     greedy) and the next step's frontend run in XLA feature-major, mirroring
@@ -742,9 +772,14 @@ def _tp_scan(params, fm, arch: ArchConfig, carry0, t0, cond_ts, forced_ts,
         logits = mm(fm["w2T"], hidden) + fm["b2"]              # (Q, B)
         q, b = logits.shape
         if temperature > 0.0:
-            scores = logits * (1.0 / temperature) + _perlane_gumbel_fm(
-                lane, t, q
-            )
+            gum = _perlane_gumbel_fm(lane, t, q)
+            if lane_inv_temp is not None:
+                # Per-lane temperature (serving): inv == host f32(1/tau),
+                # 0 = greedy lane (see _sample_class_perlane).
+                inv = lane_inv_temp.astype(jnp.float32)[None, :]  # (1, B)
+                scores = jnp.where(inv > 0.0, logits * inv + gum, logits)
+            else:
+                scores = logits * (1.0 / temperature) + gum
         else:
             scores = logits
         # First-max argmax (mega's in-kernel tie semantics).
@@ -838,6 +873,7 @@ def _tp_stream_chunk(
     model_axis: str,
     lane_seed=None,
     lane_t0=None,
+    lane_inv_temp=None,
 ):
     """One model-sharded chunk on the TP fused step (see _tp_scan): the
     carried state is the feature-major (bufs, h, e_s) triple; ring-slot
@@ -864,7 +900,7 @@ def _tp_stream_chunk(
     (bufs, h, e_s), out = _tp_scan(
         params, fm, arch, (st["bufs"], st["h"], st["e_s"]), stream.t,
         cond_ts, forced_ts, temperature, has_cond, interpret, model_axis,
-        lane=lane,
+        lane=lane, lane_inv_temp=lane_inv_temp,
     )
     new_stream = Stream(
         {"bufs": bufs, "h": h, "e_s": e_s, "seed_base": st["seed_base"]},
@@ -1052,6 +1088,7 @@ def stream_chunk(
     lane_t0: Optional[jnp.ndarray] = None,    # (B,) int32 lane lease times
     global_rng: bool = False,
     model_axis: Optional[str] = None,
+    lane_inv_temp: Optional[jnp.ndarray] = None,  # (B,) f32 1/tau (0=greedy)
 ):
     """Emit the next chunk_size samples and the advanced stream.
 
@@ -1091,6 +1128,19 @@ def stream_chunk(
         )
     if (lane_seed is None) != (lane_t0 is None):
         raise ValueError("pass lane_seed and lane_t0 together")
+    if lane_inv_temp is not None:
+        # Per-lane temperature rides the per-lane hash sampler: the static
+        # temperature must enable the sampling machinery (greedy lanes are
+        # expressed as inv == 0), and the session-global PRNG chain has no
+        # per-lane replay semantics to attach it to.
+        if temperature <= 0.0:
+            raise ValueError(
+                "lane_inv_temp needs a sampled session (static "
+                "temperature > 0); greedy lanes are inv == 0"
+            )
+        if global_rng:
+            raise ValueError("lane_inv_temp needs per-lane sampling, "
+                             "not global_rng")
     gcond = None
     if speaker_ids is not None:
         gcond = params["speaker_embed"][speaker_ids]
@@ -1116,6 +1166,7 @@ def stream_chunk(
         return _tp_stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
             temperature, model_axis, lane_seed, lane_t0,
+            lane_inv_temp=lane_inv_temp,
         )
 
     if engine in ("mega", "turbo") and lane_seed is None and (
@@ -1135,18 +1186,25 @@ def stream_chunk(
         return _mega_stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
             temperature, return_logits, lane_seed, lane_t0,
+            lane_inv_temp=lane_inv_temp,
         )
     if engine == "turbo":
         return _turbo_stream_chunk(
             params, arch, stream, chunk_size, cond, gcond, forced,
             temperature, lane_seed, lane_t0,
-            return_logits=return_logits,
+            return_logits=return_logits, lane_inv_temp=lane_inv_temp,
         )
 
+    if lane_inv_temp is not None and lane_seed is None:
+        raise ValueError(
+            "lane_inv_temp on the scan engines needs explicit "
+            "lane_seed/lane_t0 (the per-lane sampling path)"
+        )
     new_state, out = _run_scan_engine(
         params, arch, stream.state, stream.t, chunk_size, cond, forced,
         gcond, temperature, return_logits, engine,
         lane_seed=lane_seed, lane_t0=lane_t0, model_axis=model_axis,
+        lane_inv_temp=lane_inv_temp,
     )
     new_stream = Stream(new_state, stream.t + jnp.int32(chunk_size))
     if return_logits:
@@ -1190,6 +1248,7 @@ def _turbo_stream_chunk(
     lane_seed=None,
     lane_t0=None,
     return_logits: bool = False,
+    lane_inv_temp=None,
 ):
     """One turbo-engine chunk: lax.scan of the fully-fused step kernel,
     carrying (rings, frontend) between chunks. Ring-slot phase and the
@@ -1208,11 +1267,7 @@ def _turbo_stream_chunk(
     else:
         forced_ts = jnp.swapaxes(forced, 0, 1).astype(jnp.int32)
     seed_base = st["seed_base"]
-    lane = None
-    if lane_seed is not None:
-        lane = jnp.stack(
-            [lane_seed.astype(jnp.int32), lane_t0.astype(jnp.int32)]
-        )
+    lane = _pack_lane(lane_seed, lane_t0, lane_inv_temp)
     (bufs, e, h), out = _turbo_scan(
         params, lp, arch, (st["bufs"], st["e"], st["h"]), seed_base,
         stream.t, cond_ts, forced_ts, temperature, has_cond, interpret,
@@ -1244,6 +1299,7 @@ def _mega_stream_chunk(
     return_logits: bool,
     lane_seed=None,
     lane_t0=None,
+    lane_inv_temp=None,
 ):
     """One mega-engine chunk: the whole chunk in ONE pallas_call, carrying
     (ring buffer, staged pairs, frontend) between chunks. Ring-slot phase
@@ -1271,11 +1327,7 @@ def _mega_stream_chunk(
     else:
         forced_ts = jnp.swapaxes(forced, 0, 1).astype(jnp.int32)
 
-    lane = None
-    if lane_seed is not None:
-        lane = jnp.stack(
-            [lane_seed.astype(jnp.int32), lane_t0.astype(jnp.int32)]
-        )
+    lane = _pack_lane(lane_seed, lane_t0, lane_inv_temp)
     dummy_be = jnp.swapaxes(carry["h_s"], 0, 1)  # (B, C): shape source only
     out = mega_generate(
         params, lp, arch, dummy_be, dummy_be,

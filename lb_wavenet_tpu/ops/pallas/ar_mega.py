@@ -101,7 +101,7 @@ def _perlane_bits(q, lane_ref, t_abs):
 def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
                       use_hw_prng: bool, buf_dtype, emit_logits: bool = False,
                       vmem_dmax: int = 1, streaming: bool = False,
-                      per_lane: bool = False):
+                      per_lane: bool = False, lane_temp: bool = False):
     """vmem_dmax: layers with 1 < d <= vmem_dmax keep their ring in a VMEM
     scratch instead of HBM — their DMA machinery (issue + 2 semaphore waits
     per step) becomes two cheap VPU copies. d == 1 layers never have a ring
@@ -315,7 +315,15 @@ def _make_mega_kernel(arch: ArchConfig, temperature: float, has_cond: bool,
                 jax.lax.shift_right_logical(bits, jnp.uint32(8)), jnp.int32
             )
             u = (top24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
-            scores = logits * (1.0 / temperature) + (-jnp.log(-jnp.log(u)))
+            gum = -jnp.log(-jnp.log(u))
+            if lane_temp:
+                # Per-lane inverse temperature (serving): lane row 2 holds
+                # host-computed f32(1/tau) bits; inv == 0 is a greedy lane
+                # (raw-logits argmax, bit-matching a dedicated greedy run).
+                inv = pltpu.bitcast(lane_ref[pl.ds(2, 1)], jnp.float32)
+                scores = jnp.where(inv > 0.0, logits * inv + gum, logits)
+            else:
+                scores = logits * (1.0 / temperature) + gum
         else:
             scores = logits
         m = jnp.max(scores, axis=0, keepdims=True)        # (1, B)
@@ -517,7 +525,8 @@ def mega_generate(
         ]
         args += [tr(cond_ts), wcast(tr(lp["w_cond"]))]
     if lane is not None:
-        in_specs.append(whole((2, b)))   # per-lane [seeds; lease times]
+        # per-lane [seeds; lease times; optional f32(1/tau) bits]
+        in_specs.append(whole((lane.shape[0], b)))
         args.append(lane)
 
     # Layers with 1 < d <= vmem_dmax keep their rings in VMEM scratch (no
@@ -532,6 +541,7 @@ def mega_generate(
         arch, temperature, has_cond, use_hw_prng=not interpret,
         buf_dtype=buf_dtype, emit_logits=emit_logits, vmem_dmax=vmem_dmax,
         streaming=streaming, per_lane=lane is not None,
+        lane_temp=lane is not None and lane.shape[0] == 3,
     )
     vring_scratch = (
         [pltpu.VMEM((vrows * c, b), buf_dtype)] if vrows > 0 else []

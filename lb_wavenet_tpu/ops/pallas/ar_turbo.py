@@ -49,7 +49,8 @@ def _turbo_kernel(
     forced_ref,                   # (B, 1) int32, -1 = sample freely
     cond_ref,                     # (B, Cc) or None
     wcond_ref,                    # (1, Cc, 2G) or None
-    lane_ref,                     # (B, 2) int32 [seed, lease t0] or None
+    lane_ref,                     # (B, 2|3) int32 [seed, lease t0,
+                                  #  f32(1/tau) bits] or None
     wpast_ref,                    # (K-1, C, C) past taps w[0..K-2] or None
     estack_ref,                   # (K-1, B, C) e(t-K+2)..e(t), or None (K=1)
     # outputs
@@ -67,6 +68,7 @@ def _turbo_kernel(
     temperature: float,
     use_hw_prng: bool = True,
     per_lane: bool = False,
+    lane_temp: bool = False,
 ):
     l = pl.program_id(0)
 
@@ -152,7 +154,15 @@ def _turbo_kernel(
             )
             u = (top24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
             gum = -jnp.log(-jnp.log(u))
-            scores = logits * (1.0 / temperature) + gum
+            if lane_temp:
+                # Per-lane inverse temperature (serving): row 2 of the lane
+                # block carries host-computed f32(1/tau) bits; inv == 0 is
+                # a greedy lane (raw-logits argmax, bit-matching a
+                # dedicated greedy session).
+                inv = pltpu.bitcast(lane_ref[:, 2:3], jnp.float32)  # (B, 1)
+                scores = jnp.where(inv > 0.0, logits * inv + gum, logits)
+            else:
+                scores = logits * (1.0 / temperature) + gum
         else:
             scores = logits
 
@@ -269,7 +279,7 @@ def turbo_step(
         args += [cond_t, lp["w_cond"]]
     per_lane = lane is not None
     if per_lane:
-        in_specs += [whole((b, 2))]
+        in_specs += [whole((b, lane.shape[0]))]
         args += [jnp.swapaxes(lane, 0, 1)]  # batch-major for this kernel
     if k_taps > 1:
         in_specs += [
@@ -285,6 +295,7 @@ def turbo_step(
         temperature=temperature,
         use_hw_prng=not interpret,
         per_lane=per_lane,
+        lane_temp=per_lane and lane.shape[0] == 3,
     )
     n_in = len(args)
 

@@ -436,6 +436,7 @@ class ShardedSession:
         temperature: float = 1.0,
         lane_seed=None,            # (B,) int32 (serving pools)
         lane_t0=None,
+        lane_inv_temp=None,        # (B,) f32 1/tau per lane (0 = greedy)
     ):
         """Emit the next chunk: returns a global (B, chunk) class array
         sharded over `data`; the session state advances in place."""
@@ -445,6 +446,7 @@ class ShardedSession:
         for name, val in (
             ("cond", cond), ("speaker_ids", speaker_ids), ("forced", forced),
             ("lane_seed", lane_seed), ("lane_t0", lane_t0),
+            ("lane_inv_temp", lane_inv_temp),
         ):
             if val is not None:
                 opt[name] = _place_global(val, self.mesh, _batch_spec(val))

@@ -183,6 +183,18 @@ class SessionPool:
         )
         self._lane_seed = np.zeros(self._device_batch, np.int32)
         self._lane_t0 = np.zeros(self._device_batch, np.int32)
+        # Per-request temperature (VERDICT r4 item 4): a (device_batch,)
+        # f32 INVERSE-temperature vector rides the per-lane sampling block;
+        # inv == 0 is a greedy lane. Host-computed float32(1.0 / tau)
+        # matches the folded kernel constant of a dedicated session at tau
+        # bit-for-bit, so submit(temperature=...) requests replay exactly.
+        self._default_inv = (
+            np.float32(1.0 / temperature) if temperature > 0
+            else np.float32(0.0)
+        )
+        self._lane_inv_temp = np.full(
+            self._device_batch, self._default_inv, np.float32
+        )
         self.stream = (
             None if mesh is not None
             else start_stream(arch, self._device_batch, rng,
@@ -250,13 +262,20 @@ class SessionPool:
         speaker: Optional[int] = None,
         cond_fn: Optional[Callable] = None,
         seed: Optional[int] = None,
+        temperature: Optional[float] = None,
     ) -> bool:
         """Lease a free lane to a request; False if the pool is full.
 
         `seed` (per_lane_rng pools): the request's sampling seed — replay
         the request on a dedicated session with the same seed for a
         bit-identical sampled stream. Defaults to a deterministic
-        derivation from the pool seed and the submission index."""
+        derivation from the pool seed and the submission index.
+
+        `temperature` (per_lane_rng pools created with temperature > 0):
+        this REQUEST's sampling temperature — 0 means greedy — overriding
+        the pool default for its lane. A pooled request at tau is
+        bit-identical to a dedicated session at static tau with the same
+        seed (tests/test_lane_temperature.py)."""
         if n_samples <= 0:
             raise ValueError(f"n_samples must be positive, got {n_samples}")
         if speaker is not None and not self.arch.use_global_cond:
@@ -267,6 +286,19 @@ class SessionPool:
             )
         if seed is not None and not self.per_lane_rng:
             raise ValueError("submit(seed=...) needs per_lane_rng=True")
+        if temperature is not None:
+            if not self.per_lane_rng:
+                raise ValueError(
+                    "submit(temperature=...) needs per_lane_rng=True"
+                )
+            if self.temperature <= 0.0:
+                raise ValueError(
+                    "per-request temperature needs a SAMPLED pool "
+                    "(construct SessionPool with temperature > 0; greedy "
+                    "requests are submit(temperature=0) on such a pool)"
+                )
+            if temperature < 0.0:
+                raise ValueError(f"temperature must be >= 0, got {temperature}")
         if self._acc is not None:
             cap = int(self._acc.shape[1])
             # cap - 2*chunk: the span a request occupies in the time ring
@@ -293,6 +325,11 @@ class SessionPool:
                     self._lane_seed[i] = np.int32(seed & 0x7FFFFFFF)
                     # Lane-local time starts at the NEXT dispatch.
                     self._lane_t0[i] = self._t_dispatched
+                    self._lane_inv_temp[i] = (
+                        self._default_inv if temperature is None
+                        else np.float32(1.0 / temperature)
+                        if temperature > 0 else np.float32(0.0)
+                    )
                 self._n_submitted += 1
                 if not self._fresh[i]:
                     self._pending_reset[i] = True
@@ -378,6 +415,14 @@ class SessionPool:
                 lane_seed=jnp.asarray(self._lane_seed.copy()),
                 lane_t0=jnp.asarray(self._lane_t0.copy()),
             )
+            if self.temperature > 0.0:
+                # Always ride the per-lane inverse-temperature row on
+                # sampled pools (one trace; logits * f32(1/tau) is
+                # bit-identical to the folded-constant form, so pools
+                # without custom-temperature requests are unchanged).
+                lane_kw["lane_inv_temp"] = jnp.asarray(
+                    self._lane_inv_temp.copy()
+                )
         if self._session is not None:
             classes = self._session.chunk(
                 self.chunk_size, cond=cond, speaker_ids=speaker_ids,
