@@ -654,13 +654,39 @@ def run_training(
 
     # SP shards TIME, not batch rows: every host must see the IDENTICAL
     # batch stream (seq_batch_to_device places each host's time-slices),
-    # so the SP loader is unsharded. DP loaders stay host-strided.
+    # so the SP loader is unsharded. DP loaders stay host-strided. With a
+    # MODEL axis spanning processes, the split follows the process's
+    # DATA-axis coordinate instead of its index: all model columns of one
+    # data row must load IDENTICAL batch rows — a process-index split
+    # feeds each column different rows and the columns silently diverge
+    # (caught by the r5 4-process data x model test; the pure-DP case only
+    # tolerated the index split because a batch is permutation-invariant).
+    if train.seq_parallel:
+        loader_id, loader_count = 0, 1
+    elif train.mesh_model > 1 and host_count > 1:
+        from .parallel.mesh import DATA_AXIS
+
+        me = jax.process_index()
+        dev_grid = np.asarray(mesh.devices)
+        rows = sorted({
+            i for i in range(mesh.shape[DATA_AXIS])
+            if any(d.process_index == me for d in dev_grid[i].flat)
+        })
+        if len(rows) != 1:
+            raise NotImplementedError(
+                f"this process's devices span data rows {rows}; the "
+                "host-sharded loader supports one data row per process "
+                "(use fewer data shards or align processes to data rows)"
+            )
+        loader_id, loader_count = rows[0], mesh.shape[DATA_AXIS]
+    else:
+        loader_id, loader_count = host_id, host_count
     batches = prefetch(
         make_batches(
             corpus,
             train,
-            host_id=0 if train.seq_parallel else host_id,
-            host_count=1 if train.seq_parallel else host_count,
+            host_id=loader_id,
+            host_count=loader_count,
             start_step=start_step,
             with_mel=arch.use_local_cond,
         )

@@ -13,15 +13,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def params_checksum(params) -> jnp.ndarray:
-    """Order-stable scalar fingerprint of a parameter pytree (fp32)."""
-    leaves = jax.tree_util.tree_leaves(params)
+@jax.jit
+def _checksum_impl(leaves):
     acc = jnp.zeros((), jnp.float32)
     for i, leaf in enumerate(leaves):
         x = jnp.asarray(leaf, jnp.float32)
         # Weighted sums make the checksum sensitive to permutations.
         acc = acc + jnp.sum(x) * (1.0 + 0.001 * i) + jnp.sum(x * x) * 0.5
     return acc
+
+
+def params_checksum(params) -> jnp.ndarray:
+    """Order-stable scalar fingerprint of a parameter pytree (fp32).
+
+    Jitted: under multi-process MODEL sharding the leaves are global
+    arrays no single process holds in full — eager per-op reduction would
+    sum only the LOCAL shards, making hosts on different model columns
+    "diverge" spuriously (caught by the r5 4-process data x model test).
+    Inside jit the sum is a global computation with a replicated result.
+    """
+    return _checksum_impl(jax.tree_util.tree_leaves(params))
 
 
 def assert_replicated_params(params, step: int) -> None:
