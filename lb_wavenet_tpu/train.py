@@ -734,15 +734,20 @@ def run_training(
                 eval_batch = train.eval_batch_size or train.batch_size
                 # SP mode's mesh shards time, not batch; eval picks its own.
                 eval_mesh = None if train.seq_parallel else mesh
+                # In-training eval reuses the fused production path (r5;
+                # not under model sharding — eval's forward is unsharded).
+                eval_fused = train.fused_stack and train.mesh_model == 1
                 ev = evaluate(
                     state.params, arch, eval_corpus, eval_batch,
                     mesh=eval_mesh, max_batches=train.eval_batches,
+                    fused=eval_fused, tapcat=train.tapcat and eval_fused,
                 )
                 record = {f"eval_{k}": v for k, v in ev.items()}
                 if train.ema_decay > 0:
                     ev_ema = evaluate(
                         state.ema, arch, eval_corpus, eval_batch,
                         mesh=eval_mesh, max_batches=train.eval_batches,
+                        fused=eval_fused, tapcat=train.tapcat and eval_fused,
                     )
                     record.update(
                         eval_ema_nll=ev_ema["nll"],
