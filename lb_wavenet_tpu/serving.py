@@ -24,6 +24,8 @@ Design constraints that shape the code:
 from __future__ import annotations
 
 import dataclasses
+import heapq
+import time
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -201,6 +203,11 @@ class SessionPool:
                               engine=engine, params=params)
         )
         self._lanes: List[Optional[_Lease]] = [None] * batch
+        # Free-lane min-heap: submit() leases the LOWEST free index (same
+        # semantics as a linear scan, which cost ~8 ms/step at B=1536 —
+        # O(completions x B) per step) in O(log B). Invariant: the heap
+        # holds exactly the indices i with _lanes[i] is None.
+        self._free: List[int] = list(range(batch))
         self._pending_reset = np.zeros(self._device_batch, dtype=bool)
         # Lane 0..B-1 of a brand-new stream is already a fresh session, so
         # the first lease per lane needs no reset.
@@ -242,6 +249,16 @@ class SessionPool:
             self._acc = jnp.zeros(
                 (self._device_batch, acc_samples), jnp.uint8
             )
+        # Per-phase cumulative wall clocks (seconds), kept always — a
+        # handful of perf_counter() calls per multi-ms step is free — so a
+        # production loop can see WHERE its step time goes without a
+        # profiler: 'reset'/'cond'/'dispatch' are host-side dispatch work
+        # (async under jit), 'fetch' is the device wait + D2H, 'slice' the
+        # host-side per-request delivery, 'submit' the lease scans.
+        self.stats: Dict[str, float] = {
+            "steps": 0, "reset_s": 0.0, "cond_s": 0.0, "dispatch_s": 0.0,
+            "fetch_s": 0.0, "slice_s": 0.0, "submit_s": 0.0,
+        }
 
     # -- request lifecycle ---------------------------------------------
 
@@ -253,7 +270,7 @@ class SessionPool:
         )
 
     def free_lanes(self) -> int:
-        return sum(lease is None for lease in self._lanes)
+        return len(self._free)
 
     def submit(
         self,
@@ -310,32 +327,36 @@ class SessionPool:
                     f"acc_samples - 2*chunk = {cap - 2 * self.chunk_size} "
                     f"(got {n_samples}); raise acc_samples"
                 )
-        for i, lease in enumerate(self._lanes):
-            if lease is None:
-                self._lanes[i] = _Lease(
-                    request_id, n_samples, speaker=speaker, cond_fn=cond_fn,
-                    start_t=self._t_dispatched,
+        t0 = time.perf_counter()
+        try:
+            if not self._free:
+                return False
+            i = heapq.heappop(self._free)
+            self._lanes[i] = _Lease(
+                request_id, n_samples, speaker=speaker,
+                cond_fn=cond_fn, start_t=self._t_dispatched,
+            )
+            if self.per_lane_rng:
+                if seed is None:
+                    seed = (
+                        self._pool_seed
+                        + self._n_submitted * 0x9E3779B9
+                    ) & 0x7FFFFFFF
+                self._lane_seed[i] = np.int32(seed & 0x7FFFFFFF)
+                # Lane-local time starts at the NEXT dispatch.
+                self._lane_t0[i] = self._t_dispatched
+                self._lane_inv_temp[i] = (
+                    self._default_inv if temperature is None
+                    else np.float32(1.0 / temperature)
+                    if temperature > 0 else np.float32(0.0)
                 )
-                if self.per_lane_rng:
-                    if seed is None:
-                        seed = (
-                            self._pool_seed
-                            + self._n_submitted * 0x9E3779B9
-                        ) & 0x7FFFFFFF
-                    self._lane_seed[i] = np.int32(seed & 0x7FFFFFFF)
-                    # Lane-local time starts at the NEXT dispatch.
-                    self._lane_t0[i] = self._t_dispatched
-                    self._lane_inv_temp[i] = (
-                        self._default_inv if temperature is None
-                        else np.float32(1.0 / temperature)
-                        if temperature > 0 else np.float32(0.0)
-                    )
-                self._n_submitted += 1
-                if not self._fresh[i]:
-                    self._pending_reset[i] = True
-                self._fresh[i] = False
-                return True
-        return False
+            self._n_submitted += 1
+            if not self._fresh[i]:
+                self._pending_reset[i] = True
+            self._fresh[i] = False
+            return True
+        finally:
+            self.stats["submit_s"] += time.perf_counter() - t0
 
     # -- the serving step ------------------------------------------------
 
@@ -361,6 +382,7 @@ class SessionPool:
         leases (async); lease bookkeeping advances NOW (a finished lane is
         reusable from the next dispatch), returning (device classes,
         delivery metadata)."""
+        t0 = time.perf_counter()
         if self._pending_reset.any():
             if self._session is not None:
                 self._session.reset_lanes(self._pending_reset.copy())
@@ -376,6 +398,8 @@ class SessionPool:
                     engine=self.engine,
                 )
             self._pending_reset[:] = False
+        t1 = time.perf_counter()
+        self.stats["reset_s"] += t1 - t0
 
         speaker_ids = None
         if self.arch.use_global_cond:
@@ -406,6 +430,8 @@ class SessionPool:
                         )
                     slab[i, :n_need] = span
             cond = jnp.asarray(slab, jnp.dtype(self.arch.compute_dtype))
+        t2 = time.perf_counter()
+        self.stats["cond_s"] += t2 - t1
 
         lane_kw = {}
         if self.per_lane_rng:
@@ -466,12 +492,15 @@ class SessionPool:
                 )
             if done:
                 self._lanes[i] = None
+                heapq.heappush(self._free, i)
                 self._pending_reset[i] = True
         # Every lane (leased or idle) just advanced chunk_size steps of
         # free-running state, so no lane is "fresh t=0" any more: a first
         # lease landing on a never-used lane after this point MUST reset it
         # or it would inherit free-run ring history (silently corrupt audio).
         self._fresh[:] = False
+        self.stats["steps"] += 1
+        self.stats["dispatch_s"] += time.perf_counter() - t2
         return classes, meta
 
     def _deliver(self, inflight: tuple) -> Dict[object, tuple]:
@@ -505,15 +534,25 @@ class SessionPool:
             bucket = _pow2_bucket(total)
             idx = np.zeros(bucket, np.int32)
             idx[:total] = flat
+            t0 = time.perf_counter()
             data = np.asarray(
                 _acc_flat_gather(self._acc, jnp.asarray(idx))
             )  # ONE device round-trip for every completion this step
-            return {
+            t1 = time.perf_counter()
+            out = {
                 rid: (data[off : off + n].astype(np.int32), True)
                 for rid, off, n, _lane, _t in spans
             }
+            self.stats["fetch_s"] += t1 - t0
+            self.stats["slice_s"] += time.perf_counter() - t1
+            return out
+        t0 = time.perf_counter()
         classes = np.asarray(classes_dev)
-        return {
+        t1 = time.perf_counter()
+        out = {
             rid: (classes[i, :n].astype(np.int32), done)
             for i, rid, n, done in meta
         }
+        self.stats["fetch_s"] += t1 - t0
+        self.stats["slice_s"] += time.perf_counter() - t1
+        return out

@@ -53,12 +53,28 @@ def run_trace(params, arch, batch, chunk, lengths, policy,
     t0 = time.perf_counter()
     fill()
     chunk_lat = []
+    # Saturated-window accounting: production pools run with every lane
+    # leased; a finite trace ends with a drain tail of partly-idle steps
+    # that depresses the whole-trace delivered rate. Steps dispatched with
+    # zero free lanes give the steady-state rate. (Pipelined pools deliver
+    # one step late — the attribution skew is one chunk and noted as such.)
+    sat_steps = 0
+    sat_time = 0.0
+    sat_audio = 0
     while pool.active or next_req < len(queue):
+        saturated = pool.free_lanes() == 0
         ts = time.perf_counter()
+        got = 0
         for rid, (classes, done) in pool.step().items():
-            delivered += len(classes)
-        chunk_lat.append(time.perf_counter() - ts)
+            got += len(classes)
+        dt = time.perf_counter() - ts
+        delivered += got
+        chunk_lat.append(dt)
         steps += 1
+        if saturated:
+            sat_steps += 1
+            sat_time += dt
+            sat_audio += got
         if policy == "continuous":
             fill()
         elif policy == "wave" and not pool.active:
@@ -68,7 +84,19 @@ def run_trace(params, arch, batch, chunk, lengths, policy,
     wall = time.perf_counter() - t0
     assert delivered == sum(lengths)
     lat_ms = 1000.0 * np.asarray(chunk_lat)
+    # Per-phase split from the pool's built-in cumulative timers
+    # (serving.SessionPool.stats): where each step's wall actually goes.
+    nst = max(pool.stats["steps"], 1)
+    phase_ms = {
+        k[:-2]: round(1000.0 * v / nst, 2)
+        for k, v in pool.stats.items() if k.endswith("_s")
+    }
     return {
+        "phase_ms_per_step": phase_ms,
+        "saturated_steps": sat_steps,
+        "saturated_audio_sec_per_sec": round(
+            sat_audio / arch.sample_rate / sat_time, 1
+        ) if sat_time > 0 else None,
         "steps": steps,
         "chunk_ms_p50": round(float(np.percentile(lat_ms, 50)), 2),
         "chunk_ms_p99": round(float(np.percentile(lat_ms, 99)), 2),
