@@ -764,11 +764,27 @@ def cmd_serve(args) -> int:
         cfg.gen.checkpoint_dir, template, prefer_ema=args.ema
     )
 
+    if args.listen and args.requests:
+        raise SystemExit("pass --requests FILE or --listen HOST:PORT, not both")
+    if not args.listen and not args.requests:
+        raise SystemExit("pass --requests FILE (batch) or --listen "
+                         "HOST:PORT (online daemon)")
+    if args.listen and args.deliver == "request":
+        # Request-mode ring capacity is sized from the batch file's longest
+        # request; an online daemon has no such bound up front.
+        raise SystemExit("--listen serves with chunk delivery; drop "
+                         "--deliver request")
+
+    def _request_lines(path):
+        with open(path) as f:
+            for ln, line in enumerate(f, 1):
+                yield ln, line
+
     requests = []
     seen = set()
     seen_safe: dict = {}
-    with open(args.requests) as f:
-        for ln, line in enumerate(f, 1):
+    if args.requests:
+        for ln, line in _request_lines(args.requests):
             line = line.strip()
             if not line:
                 continue
@@ -825,7 +841,7 @@ def cmd_serve(args) -> int:
                     "and a sampled pool (gen.temperature > 0)"
                 )
             requests.append((rid, n, r.get("speaker"), mel, seed, temp))
-    if not requests:
+    if args.requests and not requests:
         raise SystemExit(f"{args.requests}: no requests")
 
     def make_cond_fn(mel_path: str, n_samples: int, ln: str):
@@ -905,6 +921,43 @@ def cmd_serve(args) -> int:
         # audio-sec/sec, BASELINE.md round-3). --no-pipeline reverts.
         pipeline=args.pipeline,
     )
+
+    if args.listen:
+        # Online daemon (r5): HTTP front end over the SAME pool — handlers
+        # enqueue and wait; one worker thread steps the pool (server.py).
+        from .server import PoolServer, make_http_server
+
+        host, _, port_s = args.listen.rpartition(":")
+        host = host or "127.0.0.1"
+        try:
+            port = int(port_s)
+        except ValueError:
+            raise SystemExit(f"--listen expects HOST:PORT, got {args.listen!r}")
+        cond_builder = None
+        if cfg.arch.use_local_cond:
+            def cond_builder(mel_path, n_samples):
+                return make_cond_fn(mel_path, n_samples, f"mel {mel_path}")
+        pool_server = PoolServer(pool)
+        pool_server.start()
+        httpd = make_http_server(
+            pool_server, cfg.arch, host, port,
+            cond_builder=cond_builder,
+            request_timeout=args.request_timeout,
+        )
+        bound = httpd.server_address
+        print(json.dumps({
+            "listening": f"{bound[0]}:{bound[1]}", "engine": engine,
+            "batch": cfg.gen.batch_size, "chunk": chunk,
+        }), flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+            pool_server.stop()
+        return 0
+
     os.makedirs(cfg.gen.out_dir, exist_ok=True)
 
     next_req = 0
@@ -959,6 +1012,7 @@ def cmd_serve(args) -> int:
         fill()
     wall = _time.perf_counter() - t0
     total = sum(r[1] for r in requests)
+    nst = max(pool.stats["steps"], 1)
     print(json.dumps({
         "served": n_done,
         "audio_sec": round(total / cfg.arch.sample_rate, 2),
@@ -967,6 +1021,13 @@ def cmd_serve(args) -> int:
         "batch": cfg.gen.batch_size,
         "chunk": chunk,
         "out_dir": cfg.gen.out_dir,
+        # Where each serving step's wall went (SessionPool's built-in
+        # cumulative phase timers): 'fetch' is the device wait + D2H,
+        # the rest is host-side bookkeeping.
+        "phase_ms_per_step": {
+            k[:-2]: round(1000.0 * v / nst, 2)
+            for k, v in pool.stats.items() if k.endswith("_s")
+        },
     }))
     return 0
 
@@ -1172,7 +1233,18 @@ def main(argv=None) -> int:
     )
     _add_common(p_serve)
     p_serve.add_argument(
-        "--requests", required=True,
+        "--listen", default=None, metavar="HOST:PORT",
+        help="run as an ONLINE daemon instead of replaying a batch file: "
+        "POST /synthesize {n_samples[, seed][, temperature][, speaker]"
+        "[, mel_path][, format: wav|classes]} -> audio/wav; GET /healthz "
+        "-> pool stats (server.py; r5)",
+    )
+    p_serve.add_argument(
+        "--request-timeout", default=600.0, type=float,
+        help="--listen: seconds a handler waits for synthesis (504 after)",
+    )
+    p_serve.add_argument(
+        "--requests", default=None,
         help='JSONL of {"id": ..., "n_samples": N[, "speaker": S]'
         '[, "mel": "frames.npy"][, "seed": N][, "temperature": T]} '
         'requests; "mel" is required '

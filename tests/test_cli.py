@@ -788,3 +788,72 @@ def test_cli_pack_then_train_from_pack(tmp_path):
     assert r.returncode == 0, r.stderr
     lines = [json.loads(x) for x in r.stdout.strip().splitlines() if x.startswith("{")]
     assert any("loss" in rec for rec in lines)
+
+
+def test_cli_serve_listen_online_daemon(tmp_path):
+    """`wavenet serve --listen` (r5): online HTTP daemon — train a tiny
+    checkpoint, start the server on an ephemeral port, POST /synthesize
+    (classes format, pinned seed), check /healthz, then SIGINT-stop."""
+    import signal
+    import urllib.request
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 150 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=2",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8",
+        "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt = tmp_path / "ck"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    env = dict(os.environ, WAVENET_PLATFORM="cpu")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "lb_wavenet_tpu.cli",
+         "serve", *tiny, "--listen", "127.0.0.1:0", "--stream-chunk", "8",
+         "--set", f'gen.checkpoint_dir="{ckpt}"', "--set", "gen.batch_size=2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    try:
+        line = p.stdout.readline()  # flushed "listening" banner
+        banner = json.loads(line)
+        url = "http://" + banner["listening"]
+        req = urllib.request.Request(
+            url + "/synthesize",
+            data=json.dumps({"n_samples": 20, "seed": 9,
+                             "format": "classes"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert len(out["classes"]) == 20
+        assert all(0 <= c < 256 for c in out["classes"])
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as resp:
+            h = json.loads(resp.read())
+        assert h["ok"] and h["batch"] == 2
+    finally:
+        p.send_signal(signal.SIGINT)  # exact PID we started — never pkill
+        try:
+            p.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            p.terminate()
+            p.wait(timeout=30)
+    assert p.returncode == 0, p.stderr.read()
