@@ -679,6 +679,8 @@ def cmd_export(args) -> int:
 
     params = init_params(jax.random.key(0), cfg.arch)
     batch = args.batch or cfg.gen.batch_size
+    if args.per_lane and args.mesh_model > 1:
+        raise SystemExit("--per-lane is for single-device pool artifacts")
     if args.mesh_model > 1:
         from .parallel.mesh import make_mesh
         from .utils.export import export_sharded_serving
@@ -715,6 +717,11 @@ def cmd_export(args) -> int:
             "export on a TPU host for deployment",
             file=sys.stderr,
         )
+    if args.per_lane and cfg.gen.temperature <= 0.0:
+        raise SystemExit(
+            "--per-lane needs gen.temperature > 0 (greedy lanes are "
+            "inverse-temperature 0 at serve time)"
+        )
     manifest = export_serving(
         params,
         cfg.arch,
@@ -724,10 +731,12 @@ def cmd_export(args) -> int:
         engine=args.engine,
         temperature=cfg.gen.temperature,
         with_cond=cfg.arch.use_local_cond,
+        per_lane=args.per_lane,
     )
     print(json.dumps({"exported": args.out, **{
         k: manifest[k] for k in (
-            "engine", "batch", "chunk_size", "with_cond", "platforms"
+            "engine", "batch", "chunk_size", "with_cond", "per_lane",
+            "platforms",
         )
     }}))
     return 0
@@ -881,6 +890,44 @@ def cmd_serve(args) -> int:
     # Mega serves ANY pool size now (SessionPool auto-pads the device
     # session to the 128-lane multiple); gen.engine overrides.
     engine = cfg.gen.engine or "mega"
+    art = None
+    if args.artifact:
+        # Serve a FROZEN per-lane artifact (r5): engine/chunk come from
+        # the manifest; params still come from the checkpoint (weights
+        # are not baked into artifacts).
+        from .utils.export import load_serving
+
+        art = load_serving(args.artifact)
+        if not art.manifest.get("per_lane"):
+            raise SystemExit(
+                f"{args.artifact}: pool serving needs a per-lane artifact "
+                "(re-export with `wavenet export --per-lane`)"
+            )
+        if art.arch != cfg.arch:
+            raise SystemExit(
+                f"{args.artifact}: artifact arch does not match the "
+                "configured arch"
+            )
+        if args.mesh_model > 1:
+            raise SystemExit("--artifact pools are single-device")
+        if cfg.gen.global_rng:
+            raise SystemExit(
+                "--artifact pools use per-lane sampling "
+                "(gen.global_rng=false)"
+            )
+        if cfg.gen.temperature <= 0.0:
+            raise SystemExit(
+                "--artifact pools need gen.temperature > 0 (greedy "
+                'requests are "temperature": 0 submits)'
+            )
+        if args.stream_chunk and args.stream_chunk != art.manifest[
+                "chunk_size"]:
+            raise SystemExit(
+                f"--stream-chunk {args.stream_chunk} != artifact chunk "
+                f"{art.manifest['chunk_size']}"
+            )
+        chunk = int(art.manifest["chunk_size"])
+        engine = art.manifest["engine"]
     mesh = None
     if args.mesh_model > 1:
         # Model-sharded pool (r4): skip-split TP sessions under shard_map.
@@ -904,10 +951,12 @@ def cmd_serve(args) -> int:
         max_n = max(r[1] for r in requests)
         acc = max(-(-(max_n + 2 * chunk) // chunk) * chunk, 4 * chunk)
     pool = SessionPool(
-        params, cfg.arch, cfg.gen.batch_size, jax.random.key(cfg.gen.seed),
+        params, cfg.arch, cfg.gen.batch_size,
+        cfg.gen.seed if art is not None else jax.random.key(cfg.gen.seed),
         engine=engine, chunk_size=chunk,
         temperature=cfg.gen.temperature,
         mesh=mesh,
+        artifact=art,
         deliver=args.deliver,
         **({"acc_samples": acc} if acc else {}),
         # Replayable per-request sampling is the default; gen.global_rng
@@ -1233,6 +1282,12 @@ def main(argv=None) -> int:
     )
     _add_common(p_serve)
     p_serve.add_argument(
+        "--artifact", default=None,
+        help="serve a FROZEN jax.export artifact directory (from `wavenet "
+        "export --per-lane`) instead of tracing model code: engine/chunk "
+        "come from the manifest, weights from gen.checkpoint_dir (r5)",
+    )
+    p_serve.add_argument(
         "--listen", default=None, metavar="HOST:PORT",
         help="run as an ONLINE daemon instead of replaying a batch file: "
         "POST /synthesize {n_samples[, seed][, temperature][, speaker]"
@@ -1311,6 +1366,12 @@ def main(argv=None) -> int:
     )
     p_export.add_argument(
         "--chunk", type=int, default=4096, help="samples per step call"
+    )
+    p_export.add_argument(
+        "--per-lane", action="store_true",
+        help="add the (3, B) per-lane block (seeds / lease times / "
+        "1/tau bits) to the exported step, so `wavenet serve --artifact` "
+        "can pool this artifact with per-request seed/temperature (r5)",
     )
     p_pack = sub.add_parser(
         "pack", help="pack a wav corpus into the out-of-core mmap format"

@@ -122,6 +122,7 @@ class SessionPool:
         mesh=None,
         deliver: str = "chunk",
         acc_samples: int = 65536,
+        artifact=None,
     ):
         self.params = params
         self.arch = arch
@@ -129,6 +130,53 @@ class SessionPool:
         self.engine = engine
         self.chunk_size = chunk_size
         self.temperature = temperature
+        # artifact (r5): serve a FROZEN jax.export artifact instead of the
+        # in-process session — no model-construction code, no re-trace at
+        # process start. Needs a per_lane export (`wavenet export
+        # --per-lane`): the (3, B) lane block [seeds; lease times; 1/tau
+        # bits] crosses the export boundary each step, so per-request
+        # seed/temperature keep the dedicated-session replay contract.
+        # `rng` is the artifact init's INT seed (a pool over the
+        # in-process session built with jax.random.key(same int) is
+        # bit-identical). Engine/chunk come from the manifest.
+        self._artifact = artifact
+        if artifact is not None:
+            man = artifact.manifest
+            if mesh is not None:
+                raise ValueError(
+                    "artifact pools are single-device (sharded artifacts "
+                    "serve via ShardedServingArtifact/one-shot paths)"
+                )
+            if not man.get("per_lane"):
+                raise ValueError(
+                    "SessionPool needs a per_lane artifact "
+                    "(wavenet export --per-lane); this one was exported "
+                    "without the lane block"
+                )
+            if not per_lane_rng:
+                raise ValueError("artifact pools need per_lane_rng=True")
+            if temperature <= 0.0:
+                raise ValueError(
+                    "artifact pools need temperature > 0 (greedy requests "
+                    "are submit(temperature=0))"
+                )
+            if bool(man["with_cond"]) != bool(arch.use_local_cond):
+                raise ValueError(
+                    f"artifact with_cond={man['with_cond']} does not match "
+                    f"arch.use_local_cond={arch.use_local_cond}"
+                )
+            if arch.use_global_cond:
+                raise ValueError(
+                    "speaker-conditioned archs are not supported by "
+                    "artifact pools (export has no speaker input)"
+                )
+            if not isinstance(rng, (int, np.integer)):
+                raise ValueError(
+                    "artifact pools take rng as an INT seed "
+                    "(ServingArtifact.init seeds are integers)"
+                )
+            engine = self.engine = man["engine"]
+            chunk_size = self.chunk_size = int(man["chunk_size"])
         # mesh (r4): serve a MODEL-SHARDED pool — the streaming session
         # runs under shard_map with the skip-split parameter layout
         # (parallel/synthesis.ShardedSession), so a model too big for one
@@ -170,9 +218,11 @@ class SessionPool:
         self.per_lane_rng = per_lane_rng
         self._t_dispatched = 0
         self._n_submitted = 0
+        rng_key = jax.random.key(int(rng)) if artifact is not None else rng
         self._pool_seed = int(
             jax.random.randint(
-                jax.random.fold_in(rng, 0x5EED), (), 0, np.iinfo(np.int32).max
+                jax.random.fold_in(rng_key, 0x5EED), (), 0,
+                np.iinfo(np.int32).max,
             )
         )
         # The device session is auto-padded to the engine's lane multiple
@@ -183,6 +233,14 @@ class SessionPool:
         self._device_batch = (
             batch if mesh is not None else padded_stream_batch(batch, engine)
         )
+        if artifact is not None and artifact.manifest["batch"] != \
+                self._device_batch:
+            raise ValueError(
+                f"artifact batch {artifact.manifest['batch']} != the "
+                f"pool's padded device batch {self._device_batch} "
+                f"(pool batch {batch}, engine {engine}); export with "
+                f"--batch {self._device_batch} or match the pool size"
+            )
         self._lane_seed = np.zeros(self._device_batch, np.int32)
         self._lane_t0 = np.zeros(self._device_batch, np.int32)
         # Per-request temperature (VERDICT r4 item 4): a (device_batch,)
@@ -197,11 +255,16 @@ class SessionPool:
         self._lane_inv_temp = np.full(
             self._device_batch, self._default_inv, np.float32
         )
-        self.stream = (
-            None if mesh is not None
-            else start_stream(arch, self._device_batch, rng,
-                              engine=engine, params=params)
-        )
+        self._art_state = None
+        if artifact is not None:
+            self._art_state = artifact.init(params, int(rng))
+            self.stream = None
+        else:
+            self.stream = (
+                None if mesh is not None
+                else start_stream(arch, self._device_batch, rng,
+                                  engine=engine, params=params)
+            )
         self._lanes: List[Optional[_Lease]] = [None] * batch
         # Free-lane min-heap: submit() leases the LOWEST free index (same
         # semantics as a linear scan, which cost ~8 ms/step at B=1536 —
@@ -384,7 +447,12 @@ class SessionPool:
         delivery metadata)."""
         t0 = time.perf_counter()
         if self._pending_reset.any():
-            if self._session is not None:
+            if self._artifact is not None:
+                self._art_state = self._artifact.reset(
+                    self.params, self._art_state,
+                    jnp.asarray(self._pending_reset.copy()),
+                )
+            elif self._session is not None:
                 self._session.reset_lanes(self._pending_reset.copy())
             else:
                 self.stream = reset_lanes(
@@ -434,7 +502,7 @@ class SessionPool:
         self.stats["cond_s"] += t2 - t1
 
         lane_kw = {}
-        if self.per_lane_rng:
+        if self.per_lane_rng and self._artifact is None:
             lane_kw = dict(
                 # .copy(): same zero-copy aliasing hazard as the reset mask
                 # (these are mutated at submit() while a dispatch is live).
@@ -449,7 +517,20 @@ class SessionPool:
                 lane_kw["lane_inv_temp"] = jnp.asarray(
                     self._lane_inv_temp.copy()
                 )
-        if self._session is not None:
+        if self._artifact is not None:
+            # One (3, B) int32 upload per step (np.stack allocates fresh
+            # memory, so the zero-copy aliasing hazard of the mutated
+            # host arrays does not apply).
+            lane = np.stack([
+                self._lane_seed,
+                self._lane_t0,
+                self._lane_inv_temp.view(np.int32),
+            ])
+            classes, self._art_state = self._artifact.step(
+                self.params, self._art_state, cond=cond,
+                lane=jnp.asarray(lane),
+            )
+        elif self._session is not None:
             classes = self._session.chunk(
                 self.chunk_size, cond=cond, speaker_ids=speaker_ids,
                 temperature=self.temperature, **lane_kw,

@@ -96,7 +96,7 @@ def _flat_to_stream(flat: dict, engine: str):
 
 
 def _make_fns(arch: ArchConfig, batch: int, chunk_size: int, engine: str,
-              temperature: float, with_cond: bool):
+              temperature: float, with_cond: bool, per_lane: bool = False):
     from ..generate import reset_lanes, start_stream, stream_chunk
 
     def init_fn(params, seed):
@@ -105,12 +105,29 @@ def _make_fns(arch: ArchConfig, batch: int, chunk_size: int, engine: str,
         )
         return _stream_to_flat(stream, engine)
 
-    def step_fn(params, state, *maybe_cond):
+    def step_fn(params, state, *rest):
         stream = _flat_to_stream(state, engine)
-        cond = maybe_cond[0] if with_cond else None
+        lane_kw = {}
+        idx = 0
+        if per_lane:
+            # Pool-grade step (r5): a (3, B) int32 lane block — [seeds;
+            # lease times; f32(1/tau) BITS] — crosses the export boundary
+            # as ONE input, exactly generate._pack_lane's layout, so a
+            # SessionPool can serve this artifact with full per-request
+            # seed/temperature controls (serving.py artifact mode).
+            lane = rest[0]
+            idx = 1
+            lane_kw = dict(
+                lane_seed=lane[0],
+                lane_t0=lane[1],
+                lane_inv_temp=jax.lax.bitcast_convert_type(
+                    lane[2], jnp.float32
+                ),
+            )
+        cond = rest[idx] if with_cond else None
         classes, new_stream = stream_chunk(
             params, arch, stream, chunk_size, cond=cond,
-            temperature=temperature, engine=engine,
+            temperature=temperature, engine=engine, **lane_kw,
         )
         return classes, _stream_to_flat(new_stream, engine)
 
@@ -131,16 +148,25 @@ def export_serving(
     engine: str = "xla",
     temperature: float = 1.0,
     with_cond: bool = False,
+    per_lane: bool = False,
 ) -> dict:
     """Export the streaming-synthesis session to `out_dir`; returns the
     manifest. `params` provides shapes/dtypes only — weights are not baked
-    into the artifact."""
+    into the artifact. `per_lane` adds a (3, B) int32 lane block to step
+    (seeds / lease times / inverse-temperature bits) so the artifact can
+    back a SessionPool with per-request sampling controls."""
     if engine not in ("xla", "pallas", "turbo", "mega"):
         raise ValueError(
             f"exportable engines: xla|pallas|turbo|mega, got {engine}"
         )
+    if per_lane and temperature <= 0.0:
+        raise ValueError(
+            "per_lane exports need temperature > 0 (greedy lanes are "
+            "expressed as inverse-temperature 0)"
+        )
     init_fn, step_fn, reset_fn = _make_fns(
-        arch, batch, chunk_size, engine, temperature, with_cond
+        arch, batch, chunk_size, engine, temperature, with_cond,
+        per_lane=per_lane,
     )
     p_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
@@ -149,6 +175,8 @@ def export_serving(
     seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
     state_spec = jax.eval_shape(init_fn, p_spec, seed_spec)
     step_args = [p_spec, state_spec]
+    if per_lane:
+        step_args.append(jax.ShapeDtypeStruct((3, batch), jnp.int32))
     if with_cond:
         step_args.append(
             jax.ShapeDtypeStruct(
@@ -182,6 +210,7 @@ def export_serving(
         "engine": engine,
         "temperature": temperature,
         "with_cond": with_cond,
+        "per_lane": per_lane,
         "platforms": list(exp_step.platforms),
         "jax_version": jax.__version__,
         # Bind the manifest to exactly these binaries: a crash between the
@@ -228,15 +257,28 @@ class ServingArtifact:
     def init(self, params, seed: int):
         return self._init(params, jnp.int32(seed))
 
-    def step(self, params, state, cond: Optional[jnp.ndarray] = None):
-        """-> (classes (B, chunk_size) int32, new state)."""
+    def step(self, params, state, cond: Optional[jnp.ndarray] = None,
+             lane: Optional[jnp.ndarray] = None):
+        """-> (classes (B, chunk_size) int32, new state).
+
+        per_lane artifacts take `lane`: (3, B) int32 [seeds; lease times;
+        f32(1/tau) bits] — the SessionPool lane block."""
+        args = [params, state]
+        if self.manifest.get("per_lane"):
+            if lane is None:
+                raise ValueError(
+                    "artifact was exported per_lane: pass lane (3, B) int32"
+                )
+            args.append(lane)
+        elif lane is not None:
+            raise ValueError("artifact was exported without per_lane")
         if self.manifest["with_cond"]:
             if cond is None:
                 raise ValueError("artifact was exported with_cond: pass cond")
-            return self._step(params, state, cond)
-        if cond is not None:
+            args.append(cond)
+        elif cond is not None:
             raise ValueError("artifact was exported without cond")
-        return self._step(params, state)
+        return self._step(*args)
 
     def reset(self, params, state, lane_mask):
         """Continuous batching behind the export boundary: reset the

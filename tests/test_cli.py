@@ -857,3 +857,77 @@ def test_cli_serve_listen_online_daemon(tmp_path):
             p.terminate()
             p.wait(timeout=30)
     assert p.returncode == 0, p.stderr.read()
+
+
+def test_cli_export_per_lane_then_serve_artifact(tmp_path):
+    """r5: `wavenet export --per-lane` -> `wavenet serve --artifact` —
+    frozen-artifact pool serving with per-request seed/temperature; wavs
+    equal the checkpoint-traced serve of the same requests."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 150 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=2",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8",
+        "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt = tmp_path / "ck"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    artdir = tmp_path / "art"
+    r = _run(
+        ["export", *tiny, "--out", str(artdir), "--engine", "xla",
+         "--batch", "2", "--chunk", "8", "--per-lane"],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1])["per_lane"] is True
+
+    reqs = tmp_path / "requests.jsonl"
+    reqs.write_text("".join(json.dumps(x) + "\n" for x in [
+        {"id": "p", "n_samples": 20, "seed": 5},
+        {"id": "q", "n_samples": 11, "seed": 6, "temperature": 0.7},
+        {"id": "g", "n_samples": 9, "seed": 7, "temperature": 0.0},
+    ]))
+
+    out_art, out_ref = tmp_path / "out_art", tmp_path / "out_ref"
+    r = _run(
+        ["serve", *tiny, "--artifact", str(artdir),
+         "--requests", str(reqs),
+         "--set", f'gen.checkpoint_dir="{ckpt}"',
+         "--set", "gen.batch_size=2", "--set", 'gen.engine="xla"',
+         "--set", f'gen.out_dir="{out_art}"'],
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    r = _run(
+        ["serve", *tiny, "--requests", str(reqs), "--stream-chunk", "8",
+         "--set", f'gen.checkpoint_dir="{ckpt}"',
+         "--set", "gen.batch_size=2", "--set", 'gen.engine="xla"',
+         "--set", f'gen.out_dir="{out_ref}"'],
+        timeout=400,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    from scipy.io import wavfile
+    for rid in ("p", "q", "g"):
+        _, wa = wavfile.read(str(out_art / f"{rid}.wav"))
+        _, wr = wavfile.read(str(out_ref / f"{rid}.wav"))
+        np.testing.assert_array_equal(wa, wr)

@@ -238,3 +238,73 @@ def test_export_sharded_validation(tmp_path):
             params, ARCH, 4, 16, str(tmp_path / "x"), engine="mega",
             mesh_data=1, mesh_model=3,
         )
+
+
+def test_per_lane_artifact_pool_bitmatch(tmp_path):
+    """r5: a SessionPool over a per-lane artifact == the in-process pool,
+    bit-exact, including per-request seeds, temperature, a greedy
+    request, and lane recycling."""
+    from lb_wavenet_tpu.serving import SessionPool
+
+    batch, chunk = 3, 16
+    params = init_params(jax.random.key(0), ARCH)
+    out_dir = str(tmp_path / "artifact_pool")
+    manifest = export_serving(
+        params, ARCH, batch, chunk, out_dir, engine="xla",
+        temperature=1.0, per_lane=True,
+    )
+    assert manifest["per_lane"] is True
+    art = load_serving(out_dir)
+
+    def run(pool):
+        reqs = [
+            ("a", 2 * chunk, dict(seed=11)),
+            ("b", chunk + 3, dict(seed=22, temperature=0.7)),
+            ("c", chunk, dict(seed=33, temperature=0.0)),   # greedy
+            ("d", chunk + 1, dict(seed=44)),                # recycled lane
+        ]
+        i, out = 0, {}
+        while i < len(reqs) and pool.submit(reqs[i][0], reqs[i][1],
+                                            **reqs[i][2]):
+            i += 1
+        while pool.active or i < len(reqs):
+            for rid, (classes, done) in pool.step().items():
+                out.setdefault(rid, []).append(classes)
+            while i < len(reqs) and pool.submit(reqs[i][0], reqs[i][1],
+                                                **reqs[i][2]):
+                i += 1
+        return {r: np.concatenate(v) for r, v in out.items()}
+
+    seed = 5
+    got = run(SessionPool(params, ARCH, batch, seed, artifact=art,
+                          temperature=1.0))
+    want = run(SessionPool(params, ARCH, batch, jax.random.key(seed),
+                           engine="xla", chunk_size=chunk, temperature=1.0))
+    assert set(got) == set(want) == {"a", "b", "c", "d"}
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_per_lane_artifact_pool_validation(tmp_path):
+    from lb_wavenet_tpu.serving import SessionPool
+
+    params = init_params(jax.random.key(0), ARCH)
+    plain = str(tmp_path / "plain")
+    export_serving(params, ARCH, 2, 16, plain, engine="xla")
+    art = load_serving(plain)
+    with pytest.raises(ValueError, match="per_lane artifact"):
+        SessionPool(params, ARCH, 2, 3, artifact=art)
+
+    with pytest.raises(ValueError, match="temperature > 0"):
+        export_serving(params, ARCH, 2, 16, str(tmp_path / "x"),
+                       engine="xla", temperature=0.0, per_lane=True)
+
+    pl = str(tmp_path / "pl")
+    export_serving(params, ARCH, 2, 16, pl, engine="xla", per_lane=True)
+    art = load_serving(pl)
+    with pytest.raises(ValueError, match="INT seed"):
+        SessionPool(params, ARCH, 2, jax.random.key(3), artifact=art)
+    with pytest.raises(ValueError, match="batch"):
+        SessionPool(params, ARCH, 4, 3, artifact=art)
+    with pytest.raises(ValueError, match="temperature > 0"):
+        SessionPool(params, ARCH, 2, 3, artifact=art, temperature=0.0)
