@@ -276,4 +276,12 @@ def make_http_server(
             self.end_headers()
             self.wfile.write(body)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # A pool-sized burst of clients connects and then WAITS minutes
+        # for synthesis; the stdlib default listen backlog (5) sends RSTs
+        # to the burst's tail. Handlers are daemon threads so a hung
+        # client never blocks interpreter exit.
+        request_queue_size = 1024
+        daemon_threads = True
+
+    return Server((host, port), Handler)

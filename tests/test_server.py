@@ -159,3 +159,67 @@ def test_http_wav_healthz_and_errors():
         httpd.shutdown()
         httpd.server_close()
         ps.stop()
+
+
+def test_http_mel_conditioned_daemon():
+    """Mel archs over HTTP: `mel_path` routes through the injected
+    cond_builder; output == a dedicated conditioned session."""
+    arch = ArchConfig(
+        n_blocks=1, n_layers_per_block=3, residual_channels=8,
+        skip_channels=8, gate_channels=8, n_mels=6, cond_channels=4,
+        upsample_factors=(2, 4), compute_dtype="float32",
+    )
+    params = init_params(jax.random.key(0), arch)
+    n = 2 * CHUNK
+    rng = np.random.default_rng(3)
+    cond_full = rng.standard_normal((n, arch.cond_channels)).astype(
+        np.float32)
+
+    def cond_builder(mel_path, n_samples):
+        assert mel_path == "synthetic.npy"
+
+        def cond_fn(t_local, m):
+            return cond_full[t_local:t_local + m]
+        return cond_fn
+
+    pool = SessionPool(params, arch, 2, jax.random.key(0), engine="xla",
+                       chunk_size=CHUNK, temperature=1.0, pipeline=True)
+    ps = PoolServer(pool)
+    ps.start()
+    httpd = make_http_server(ps, arch, port=0, cond_builder=cond_builder,
+                             request_timeout=120.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    host, port = httpd.server_address
+    url = f"http://{host}:{port}"
+    try:
+        out = _post(url, {"n_samples": n, "seed": 77,
+                          "mel_path": "synthetic.npy",
+                          "format": "classes"})
+        got = np.asarray(out["classes"], np.int32)
+
+        # Dedicated conditioned session, same seed.
+        stream = start_stream(arch, 1, jax.random.key(5), engine="xla",
+                              params=params)
+        outs = []
+        for k in range(n // CHUNK):
+            classes, stream = stream_chunk(
+                params, arch, stream, CHUNK,
+                cond=jnp.asarray(cond_full[None, k * CHUNK:(k + 1) * CHUNK]),
+                temperature=1.0, engine="xla",
+                lane_seed=jnp.asarray([77], jnp.int32),
+                lane_t0=jnp.zeros((1,), jnp.int32),
+            )
+            outs.append(np.asarray(classes)[0])
+        np.testing.assert_array_equal(got, np.concatenate(outs))
+
+        # Missing mel_path on a mel arch -> 400.
+        try:
+            _post(url, {"n_samples": 8})
+            raise AssertionError("should have failed")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        ps.stop()
