@@ -931,3 +931,75 @@ def test_cli_export_per_lane_then_serve_artifact(tmp_path):
         _, wa = wavfile.read(str(out_art / f"{rid}.wav"))
         _, wr = wavfile.read(str(out_ref / f"{rid}.wav"))
         np.testing.assert_array_equal(wa, wr)
+
+
+def test_cli_serve_artifact_listen_composition(tmp_path):
+    """`wavenet serve --artifact DIR --listen` — frozen-artifact pool
+    behind the online HTTP daemon."""
+    import signal
+    import urllib.request
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from lb_wavenet_tpu.data import write_wav
+
+    data = tmp_path / "data"
+    data.mkdir()
+    t = np.arange(6000) / 16000
+    write_wav(str(data / "a.wav"), 0.4 * np.sin(2 * np.pi * 150 * t), 16000)
+
+    tiny = [
+        "--set", "arch.n_blocks=1", "--set", "arch.n_layers_per_block=2",
+        "--set", "arch.residual_channels=8", "--set", "arch.skip_channels=8",
+        "--set", "arch.gate_channels=8",
+        "--set", 'arch.compute_dtype="float32"',
+    ]
+    ckpt = tmp_path / "ck"
+    r = _run(
+        ["train", *tiny,
+         "--set", f'train.data_dir="{data}"', "--set", "train.n_steps=2",
+         "--set", "train.batch_size=2", "--set", "train.mesh_data=1",
+         "--set", "train.window_size=64", "--set", "train.checkpoint_every=2",
+         "--set", f'train.checkpoint_dir="{ckpt}"'],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    artdir = tmp_path / "art"
+    r = _run(
+        ["export", *tiny, "--out", str(artdir), "--engine", "xla",
+         "--batch", "2", "--chunk", "8", "--per-lane"],
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    env = dict(os.environ, WAVENET_PLATFORM="cpu")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "lb_wavenet_tpu.cli",
+         "serve", *tiny, "--artifact", str(artdir),
+         "--listen", "127.0.0.1:0",
+         "--set", f'gen.checkpoint_dir="{ckpt}"',
+         "--set", "gen.batch_size=2", "--set", 'gen.engine="xla"'],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    try:
+        banner = json.loads(p.stdout.readline())
+        url = "http://" + banner["listening"]
+        req = urllib.request.Request(
+            url + "/synthesize",
+            data=json.dumps({"n_samples": 12, "seed": 3,
+                             "temperature": 0.7,
+                             "format": "classes"}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert len(out["classes"]) == 12
+    finally:
+        p.send_signal(signal.SIGINT)  # exact PID we started — never pkill
+        try:
+            p.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            p.terminate()
+            p.wait(timeout=30)
+    assert p.returncode == 0, p.stderr.read()

@@ -308,3 +308,36 @@ def test_per_lane_artifact_pool_validation(tmp_path):
         SessionPool(params, ARCH, 4, 3, artifact=art)
     with pytest.raises(ValueError, match="temperature > 0"):
         SessionPool(params, ARCH, 2, 3, artifact=art, temperature=0.0)
+
+
+def test_per_lane_artifact_pool_request_mode(tmp_path):
+    """Artifact pools compose with deliver='request' (device-ring
+    accumulation happens outside the export boundary)."""
+    from lb_wavenet_tpu.serving import SessionPool
+
+    batch, chunk = 2, 16
+    params = init_params(jax.random.key(0), ARCH)
+    out_dir = str(tmp_path / "art")
+    export_serving(params, ARCH, batch, chunk, out_dir, engine="xla",
+                   temperature=1.0, per_lane=True)
+    art = load_serving(out_dir)
+
+    def run(pool):
+        for rid, n in (("a", 2 * chunk), ("b", chunk + 3)):
+            assert pool.submit(rid, n, seed=hash(rid) & 0x7FFF)
+        out = {}
+        while pool.active:
+            for rid, (classes, done) in pool.step().items():
+                assert done  # request mode delivers whole streams
+                out[rid] = classes
+        return out
+
+    got = run(SessionPool(params, ARCH, batch, 9, artifact=art,
+                          temperature=1.0, deliver="request",
+                          acc_samples=8 * chunk))
+    want = run(SessionPool(params, ARCH, batch, jax.random.key(9),
+                           engine="xla", chunk_size=chunk, temperature=1.0,
+                           deliver="request", acc_samples=8 * chunk))
+    assert set(got) == set(want)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])

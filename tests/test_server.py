@@ -223,3 +223,24 @@ def test_http_mel_conditioned_daemon():
         httpd.shutdown()
         httpd.server_close()
         ps.stop()
+
+
+def test_daemon_thread_hygiene_sequential_requests():
+    """200 sequential HTTP requests do not leak handler threads and the
+    worker parks when idle (daemon soak, thread-count bounded)."""
+    params = init_params(jax.random.key(0), ARCH)
+    ps, httpd, url = _serve(params, batch=2)
+    try:
+        for i in range(200):
+            out = _post(url, {"n_samples": 5, "seed": i,
+                              "format": "classes"})
+            assert len(out["classes"]) == 5
+        # Handler threads are per-connection daemons that exit after the
+        # response; allow a small settle margin.
+        import time as _t
+        _t.sleep(0.5)
+        assert threading.active_count() < 20
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        ps.stop()
