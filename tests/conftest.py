@@ -25,3 +25,24 @@ if os.environ.get("WAVENET_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+# Full-suite stability: one pytest process accumulates ~250 tests' worth
+# of live compiled executables, device buffers, and helper threads; on
+# this image that state DETERMINISTICALLY segfaults XLA:CPU (libgcc
+# unwind) during the 249th test's compile — standalone runs of the same
+# module pass (r5 session log). Dropping the jit/executable caches
+# between MODULES keeps the live-executable population bounded; the
+# per-module recompiles it forces are programs each module builds anyway.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_live_executables():
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
